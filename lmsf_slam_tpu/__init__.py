@@ -1,0 +1,22 @@
+"""lmsf_slam_tpu — TPU-native lifelong multi-sensor LiDAR SLAM engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+Robot-WH/LMSF-Slam (see SURVEY.md): LOAM feature frontend, scan-to-local-map
+registration, multi-LiDAR online extrinsic calibration, scan-context loop
+closure + relocalization, lifelong pose-graph backend with a
+RELOCALIZATION/LOCALIZATION/MAPPING mode FSM, persistent keyframe database,
+and ESKF IMU/GNSS fusion — all with static shapes, batched MXU-friendly
+kernels, and pjit/shard_map scale-out.
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# SLAM is geometry: small-matrix products (SE(3) ops, 3×3 covariance algebra,
+# 6×6 normal equations) must be true float32 — the platform default truncates
+# matmul inputs to bfloat16-class precision, which corrupts V-matrix products
+# by ~1e-2 and GN steps measurably. Hot large matmuls that tolerate reduced
+# precision (e.g. k-NN candidate selection, descriptor search) opt in
+# explicitly via `precision=` at the call site.
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -1,0 +1,206 @@
+"""LOAM-style edge/surface feature extraction, batched for TPU.
+
+Capability parity with the reference's FLOAM-derived extractor
+(`include/Algorithm/PointClouds/processing/FeatureExtract/LOAMFeatureProcessor_base.hpp`):
+ring split by vertical angle (:290-343), 11-point curvature (:97-118),
+per-sector edge selection with non-max suppression (:152-195), bad-point
+rejection (occlusion / discontinuity, :216-282), surf = low-curvature rest
+(:197-206).
+
+TPU-first reformulation: the scan is organized into a fixed (RINGS, WIDTH)
+range-image grid; curvature is a 1-D convolution along the azimuth axis; the
+sequential non-max suppression becomes a parallel local-argmax test
+(a point survives if it is the curvature maximum of its ±NMS window); edge /
+surf selection is per-sector ``top_k``. The entire multi-ring frame is one
+vectorized program — no per-ring loops.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..common.pointcloud import PointBatch
+
+
+class ScanGrid(NamedTuple):
+    """Organized scan: (R, W) range image with xyz per cell."""
+
+    xyz: jax.Array  # (R, W, 3)
+    rng: jax.Array  # (R, W) range (m)
+    mask: jax.Array  # (R, W) bool
+    flat_idx: jax.Array  # (R, W) int32 index into the source PointBatch
+
+
+@partial(jax.jit, static_argnames=("rings", "width"))
+def organize_scan(
+    pb: PointBatch,
+    rings: int = 64,
+    width: int = 1800,
+    ring_ids: jax.Array | None = None,
+) -> ScanGrid:
+    """Project a raw scan into a (rings, width) grid by (ring, azimuth).
+
+    If ``ring_ids`` is None, rings are inferred from vertical angle by equal
+    quantile binning over the valid elevation range (works for KITTI HDL-64
+    and VLP-16 alike; mirrors splitScan's vertical-angle routing,
+    `LOAMFeatureProcessor_base.hpp:290-343`).
+    """
+    xyz = pb.xyz
+    mask = pb.mask
+    rng = jnp.linalg.norm(xyz, axis=-1)
+    horiz = jnp.linalg.norm(xyz[:, :2], axis=-1)
+    elev = jnp.arctan2(xyz[:, 2], jnp.maximum(horiz, 1e-6))
+    if ring_ids is None:
+        lo = jnp.min(jnp.where(mask, elev, jnp.inf))
+        hi = jnp.max(jnp.where(mask, elev, -jnp.inf))
+        span = jnp.maximum(hi - lo, 1e-6)
+        ring_ids = jnp.clip(
+            ((elev - lo) / span * rings).astype(jnp.int32), 0, rings - 1
+        )
+    az = jnp.arctan2(xyz[:, 1], xyz[:, 0])  # [-pi, pi]
+    col = jnp.clip(
+        ((az + jnp.pi) / (2 * jnp.pi) * width).astype(jnp.int32), 0, width - 1
+    )
+    cell = ring_ids * width + col
+    cell = jnp.where(mask, cell, rings * width)  # invalid → dropped slot
+
+    # scatter-min by range: keep the closest return per cell
+    n_cells = rings * width
+    INF = jnp.float32(3.4e38)
+    best_rng = jax.ops.segment_min(
+        jnp.where(mask, rng, INF), cell, num_segments=n_cells + 1
+    )[:-1]
+    # representative point index per cell: argmin via segment_min over packed
+    # (range-rank, idx). Pack as float32 rank*N + idx is lossy; instead use
+    # segment_min over idx among points matching the winning range.
+    src_idx = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+    is_winner = mask & (rng <= best_rng[jnp.clip(cell, 0, n_cells - 1)] + 1e-7)
+    idx_for_min = jnp.where(is_winner, src_idx, jnp.int32(2**31 - 1))
+    cell_idx = jax.ops.segment_min(idx_for_min, cell, num_segments=n_cells + 1)[:-1]
+    occupied = cell_idx < jnp.int32(2**31 - 1)
+    cell_idx = jnp.clip(cell_idx, 0, xyz.shape[0] - 1)
+
+    g_xyz = xyz[cell_idx].reshape(rings, width, 3)
+    g_rng = jnp.where(occupied, best_rng, 0.0).reshape(rings, width)
+    g_mask = occupied.reshape(rings, width)
+    return ScanGrid(g_xyz, g_rng, g_mask, cell_idx.reshape(rings, width))
+
+
+def _shift(x, s, axis=-1):
+    return jnp.roll(x, s, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("half_window",))
+def curvature(grid: ScanGrid, half_window: int = 5):
+    """LOAM curvature c = |Σ_{j∈±w} (p_j − p_i)|², normalized by the expected
+    azimuthal point spacing (r_i·Δθ·2w)² so that c is scale-invariant:
+    ≈0 on planes (symmetric terms cancel), O(1) at corners, ≫1 at range
+    discontinuities. Matches the 11-point window of
+    `LOAMFeatureProcessor_base.hpp:97-118` with distance-invariant thresholds.
+    Cells whose window crosses an invalid cell are masked.
+    """
+    W = grid.rng.shape[1]
+    dtheta = 2.0 * jnp.pi / W
+    acc = jnp.zeros_like(grid.xyz)
+    valid = grid.mask
+    for s in range(1, half_window + 1):
+        for sg in (s, -s):
+            acc = acc + (_shift(grid.xyz, sg, axis=1) - grid.xyz)
+            valid = valid & _shift(grid.mask, sg, axis=1)
+    spacing = jnp.maximum(grid.rng * dtheta, 1e-4)
+    c = jnp.sum(acc * acc, axis=-1) / (2.0 * half_window * spacing) ** 2
+    return c, valid
+
+
+@jax.jit
+def bad_point_mask(grid: ScanGrid):
+    """Reject occlusion edges and near-parallel surfaces.
+
+    Reference: `checkBadEdgePoint` / occlusion logic
+    (`LOAMFeatureProcessor_base.hpp:216-282`): (a) neighbors with a large
+    range discontinuity (occluded background edges), (b) points whose beam is
+    nearly parallel to the surface.
+    """
+    r = grid.rng
+    r_prev = _shift(r, 1, axis=1)
+    r_next = _shift(r, -1, axis=1)
+    m_prev = _shift(grid.mask, 1, axis=1)
+    m_next = _shift(grid.mask, -1, axis=1)
+    # (a) occlusion: neighbor range differs by >2% of range
+    disc = jnp.maximum(jnp.abs(r - r_prev), jnp.abs(r - r_next)) > 0.02 * r + 0.1
+    # (b) parallel beam: both neighbors much further/closer in same direction
+    parallel = (jnp.abs(r_next + r_prev - 2 * r) > 0.02 * r + 0.05) & (
+        jnp.sign(r_next - r) == jnp.sign(r_prev - r)
+    )
+    ok = grid.mask & m_prev & m_next & ~(disc & parallel)
+    good = ok & ~disc
+    return good
+
+
+class LoamFeatures(NamedTuple):
+    edge: PointBatch
+    surf: PointBatch
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sectors", "edges_per_sector", "surfs_per_sector", "nms_half"),
+)
+def extract_loam_features(
+    grid: ScanGrid,
+    sectors: int = 6,
+    edges_per_sector: int = 20,
+    surfs_per_sector: int = 40,
+    edge_thresh: float = 0.5,
+    surf_thresh: float = 0.05,
+    nms_half: int = 5,
+) -> LoamFeatures:
+    """Per-(ring, sector) edge/surf selection.
+
+    Edges: curvature > edge_thresh AND local curvature argmax within ±nms_half
+    (parallel replacement of the reference's sequential neighbor-suppression,
+    `LOAMFeatureProcessor_base.hpp:152-195`); top ``edges_per_sector`` by
+    curvature. Surfs: curvature < surf_thresh; lowest ``surfs_per_sector``.
+    """
+    R, W = grid.rng.shape
+    assert W % sectors == 0, "width must divide into sectors"
+    c, cvalid = curvature(grid, nms_half)
+    good = bad_point_mask(grid) & cvalid
+
+    # parallel NMS: survives if it equals the max curvature in its ±nms_half window
+    neg_inf = jnp.float32(-3.4e38)
+    cm = jnp.where(good, c, neg_inf)
+    local_max = cm
+    for s in range(1, nms_half + 1):
+        local_max = jnp.maximum(local_max, _shift(cm, s, axis=1))
+        local_max = jnp.maximum(local_max, _shift(cm, -s, axis=1))
+    is_peak = (cm >= local_max) & good
+
+    sw = W // sectors
+    c_sec = c.reshape(R, sectors, sw)
+    edge_score = jnp.where(
+        (c_sec > edge_thresh) & is_peak.reshape(R, sectors, sw), c_sec, neg_inf
+    )
+    surf_score = jnp.where(
+        (c_sec < surf_thresh) & good.reshape(R, sectors, sw), -c_sec, neg_inf
+    )
+
+    e_val, e_idx = jax.lax.top_k(edge_score, edges_per_sector)  # (R,S,E)
+    s_val, s_idx = jax.lax.top_k(surf_score, surfs_per_sector)
+
+    col_base = jnp.arange(sectors, dtype=jnp.int32)[None, :, None] * sw
+    e_col = e_idx.astype(jnp.int32) + col_base
+    s_col = s_idx.astype(jnp.int32) + col_base
+    ring = jnp.arange(R, dtype=jnp.int32)[:, None, None]
+
+    def gather(cols, vals, rings_idx):
+        pts = grid.xyz[rings_idx, cols]  # (R,S,K,3)
+        m = vals > neg_inf / 2
+        return PointBatch(pts.reshape(-1, 3), m.reshape(-1))
+
+    edge = gather(e_col, e_val, jnp.broadcast_to(ring, e_col.shape))
+    surf = gather(s_col, s_val, jnp.broadcast_to(ring, s_col.shape))
+    return LoamFeatures(edge=edge, surf=surf)
