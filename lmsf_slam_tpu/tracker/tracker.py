@@ -1,0 +1,122 @@
+"""Scan-to-local-map LiDAR odometry tracker.
+
+Capability parity with the reference's front-end tracker
+(`inc/LidarTracker/LidarTrackerLocalMap.hpp:107-262`): constant-velocity
+prediction, edge+surf Gauss-Newton registration against a sliding-window
+local map, and a keyframe-style map-update policy (translation > 0.3 m ∨
+rotation > 0.1 rad ∨ Δt > 10 s, `:239-262`).
+
+TPU-first design: the tracker is a pure function ``tracker_step(state, ...)``
+— state is a pytree, the whole predict→register→update-map step is one jitted
+XLA program. Map insertion is branchless (masked ring-buffer write) so there
+is no retrace on the update decision.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..common import se3
+from ..common.pointcloud import PointBatch
+from ..ops.registration import RegistrationParams, RegistrationResult, register_edge_surf
+from .localmap import LocalMapState, localmap_add_if, localmap_empty, localmap_flatten
+
+
+class TrackerConfig(NamedTuple):
+    window: int = 20  # local-map scans
+    edge_capacity: int = 2048  # per-scan edge points in the map
+    surf_capacity: int = 8192  # per-scan surf points in the map
+    map_update_trans: float = 0.3  # m   (ref :239-262)
+    map_update_rot: float = 0.1  # rad
+    map_update_dt: float = 10.0  # s
+    registration: RegistrationParams = RegistrationParams()
+
+
+class TrackerState(NamedTuple):
+    pose: jax.Array  # (7,) current pose in odom frame
+    motion: jax.Array  # (7,) last inter-frame increment (const-velocity)
+    edge_map: LocalMapState
+    surf_map: LocalMapState
+    last_update_pose: jax.Array  # (7,) pose at last map insertion
+    last_update_time: jax.Array  # f32
+    frame_count: jax.Array  # int32
+
+
+class TrackerOutput(NamedTuple):
+    pose: jax.Array  # (7,)
+    motion: jax.Array  # (7,)
+    registration: RegistrationResult
+    map_updated: jax.Array  # bool
+
+
+def tracker_init(config: TrackerConfig) -> TrackerState:
+    return TrackerState(
+        pose=se3.pose_identity(),
+        motion=se3.pose_identity(),
+        edge_map=localmap_empty(config.window, config.edge_capacity),
+        surf_map=localmap_empty(config.window, config.surf_capacity),
+        last_update_pose=se3.pose_identity(),
+        last_update_time=jnp.float32(-1e18),
+        frame_count=jnp.array(0, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def tracker_step(
+    state: TrackerState,
+    edge: PointBatch,
+    surf: PointBatch,
+    timestamp: jax.Array,
+    config: TrackerConfig = TrackerConfig(),
+    prediction: jax.Array | None = None,
+) -> tuple[TrackerState, TrackerOutput]:
+    """One odometry step: predict → register vs local map → maybe update map.
+
+    ``prediction``: optional externally predicted pose (odom frame) — e.g.
+    from an IMU; defaults to constant-velocity extrapolation
+    (`LidarTrackerLocalMap.hpp:125-129`).
+    """
+    first = state.frame_count == 0
+    if prediction is None:
+        prediction = se3.pose_compose(state.pose, state.motion)
+
+    map_edge = localmap_flatten(state.edge_map)
+    map_surf = localmap_flatten(state.surf_map)
+
+    reg = register_edge_surf(
+        edge, surf, map_edge, map_surf, prediction, config.registration
+    )
+    # first frame: no map yet — stay at identity
+    new_pose = jnp.where(first, se3.pose_identity(), reg.pose)
+    motion = se3.pose_between(state.pose, new_pose)
+
+    # map-update decision (ref thresholds :239-262)
+    delta = se3.pose_between(state.last_update_pose, new_pose)
+    dx = jnp.linalg.norm(se3.pose_trans(delta))
+    dr = jnp.linalg.norm(se3.so3_log(se3.pose_quat(delta)))
+    need = (
+        first
+        | (dx > config.map_update_trans)
+        | (dr > config.map_update_rot)
+        | (timestamp - state.last_update_time > config.map_update_dt)
+    )
+
+    edge_w = edge.transform(new_pose)
+    surf_w = surf.transform(new_pose)
+    new_state = TrackerState(
+        pose=new_pose,
+        motion=jnp.where(first, se3.pose_identity(), motion),
+        edge_map=localmap_add_if(state.edge_map, edge_w, need),
+        surf_map=localmap_add_if(state.surf_map, surf_w, need),
+        last_update_pose=jnp.where(need, new_pose, state.last_update_pose),
+        last_update_time=jnp.where(
+            need, jnp.float32(timestamp), state.last_update_time
+        ),
+        frame_count=state.frame_count + 1,
+    )
+    return new_state, TrackerOutput(
+        pose=new_pose, motion=motion, registration=reg, map_updated=need
+    )

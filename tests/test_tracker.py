@@ -1,0 +1,77 @@
+"""Tracker + local map: odometry on a synthetic world must track ground truth.
+
+The reference never tests its tracker (SURVEY.md §4); golden-trajectory
+synthetic-world tracking is the replacement.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmsf_slam_tpu.common import se3
+from lmsf_slam_tpu.common.pointcloud import PointBatch
+from lmsf_slam_tpu.datasets import make_trajectory, make_world, scan_at
+from lmsf_slam_tpu.ops.registration import RegistrationParams
+from lmsf_slam_tpu.tracker import (
+    localmap_add,
+    localmap_empty,
+    localmap_flatten,
+    tracker_init,
+    tracker_step,
+    TrackerConfig,
+)
+
+
+def test_localmap_ring_buffer():
+    lm = localmap_empty(window=3, points_per_scan=4)
+    for i in range(5):
+        pb = PointBatch.from_points(np.full((4, 3), float(i)), capacity=4)
+        lm = localmap_add(lm, pb)
+    assert int(lm.count) == 3
+    flat = localmap_flatten(lm)
+    vals = np.unique(np.asarray(flat.xyz[flat.mask][:, 0]))
+    # window of 3 keeps scans 2,3,4
+    np.testing.assert_array_equal(vals, [2.0, 3.0, 4.0])
+
+
+def test_tracker_follows_synthetic_trajectory():
+    key = jax.random.PRNGKey(0)
+    world = make_world(key, extent=25.0, n_pillars=40, n_ground=4000, n_wall=2000)
+    n_frames = 40  # ≈0.63 m/frame — realistic 10 Hz scanner spacing
+    traj = make_trajectory(n_frames, radius=8.0, loop=False)
+
+    config = TrackerConfig(
+        window=8,
+        edge_capacity=256,
+        surf_capacity=1024,
+        map_update_trans=0.2,
+        registration=RegistrationParams(max_iters=8, max_corr_dist=2.0),
+    )
+    state = tracker_init(config)
+    errs = []
+    for i in range(n_frames):
+        edge, surf = scan_at(
+            world, traj[i], jax.random.fold_in(key, i),
+            n_edge=256, n_surf=1024, noise=0.01,
+        )
+        state, out = tracker_step(state, edge, surf, jnp.float32(0.1 * i), config)
+        # tracker pose is relative to frame 0: compare increments
+        gt_rel = se3.pose_between(traj[0], traj[i])
+        err = se3.pose_between(gt_rel, out.pose)
+        errs.append(float(jnp.linalg.norm(se3.pose_trans(err))))
+    # after warmup the tracker should stay within 15 cm of ground truth
+    assert max(errs[1:]) < 0.15, errs
+
+
+def test_tracker_map_update_gating():
+    config = TrackerConfig(
+        window=4, edge_capacity=64, surf_capacity=64,
+        map_update_trans=1e9, map_update_rot=1e9, map_update_dt=1e9,
+        registration=RegistrationParams(max_iters=2),
+    )
+    state = tracker_init(config)
+    pb = PointBatch.from_points(np.random.RandomState(0).randn(64, 3), capacity=64)
+    state, out = tracker_step(state, pb, pb, jnp.float32(0.0), config)
+    assert bool(out.map_updated)  # first frame always inserts
+    state, out = tracker_step(state, pb, pb, jnp.float32(0.1), config)
+    assert not bool(out.map_updated)  # thresholds unreachable
+    assert int(state.edge_map.count) == 1
