@@ -1,0 +1,125 @@
+"""Scan Context appearance descriptors — fully vectorized on TPU.
+
+Capability parity with the reference's Scan Context stack
+(`Algorithm/.../GlobalDescriptor/scanContext/Scancontext.hpp`: 20 rings × 60
+sectors × 80 m max-z binning `:59-104`, ring-key row means `:112-126`,
+circular column-shift alignment + cosine column distance `:133-234`) and its
+nanoflann ring-key kdtree (`SceneRecognitionScanContext.hpp:30-33`).
+
+TPU-first redesign: descriptor construction is one scatter-max; ring-key
+search over the whole database is a single MXU matmul (N×20 floats needs no
+tree); the column-shift alignment evaluates *all* shifts of all candidates in
+one batched einsum instead of the reference's ±10%-window scalar loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..common.pointcloud import PointBatch
+
+RINGS = 20
+SECTORS = 60
+MAX_RANGE = 80.0
+Z_OFFSET = 2.0  # lidar height shift so bin values are positive (ref :59-104)
+
+
+@partial(jax.jit, static_argnames=("rings", "sectors"))
+def make_scan_context(
+    pb: PointBatch,
+    rings: int = RINGS,
+    sectors: int = SECTORS,
+    max_range: float = MAX_RANGE,
+    z_offset: float = Z_OFFSET,
+) -> jax.Array:
+    """(rings, sectors) descriptor: max shifted-z per polar bin, 0 if empty."""
+    xyz = pb.xyz
+    r = jnp.linalg.norm(xyz[:, :2], axis=-1)
+    az = jnp.arctan2(xyz[:, 1], xyz[:, 0])  # [-pi, pi]
+    ring = jnp.clip((r / max_range * rings).astype(jnp.int32), 0, rings - 1)
+    sector = jnp.clip(
+        ((az + jnp.pi) / (2 * jnp.pi) * sectors).astype(jnp.int32), 0, sectors - 1
+    )
+    val = jnp.maximum(xyz[:, 2] + z_offset, 0.0)
+    ok = pb.mask & (r < max_range)
+    bin_id = jnp.where(ok, ring * sectors + sector, rings * sectors)
+    sc = jax.ops.segment_max(
+        jnp.where(ok, val, 0.0), bin_id, num_segments=rings * sectors + 1
+    )[:-1]
+    return jnp.maximum(sc, 0.0).reshape(rings, sectors)
+
+
+@jax.jit
+def ring_key(sc: jax.Array) -> jax.Array:
+    """Rotation-invariant key: per-ring mean over sectors (ref :112-126).
+    Works batched: (..., R, S) -> (..., R)."""
+    return jnp.mean(sc, axis=-1)
+
+
+@jax.jit
+def sc_distance(query: jax.Array, cands: jax.Array):
+    """Min-over-shifts cosine column distance between a query (R, S) and
+    candidate descriptors (..., R, S).
+
+    Returns (dist (...,), shift (...,) int32): the distance is the mean of
+    (1 − cos) over columns where both descriptors are non-empty, minimized
+    over all circular sector shifts; ``shift`` is the aligning shift
+    (candidate rolled by +shift matches the query). (ref :133-234)
+    """
+    R, S = query.shape
+    # all circular shifts of the query: (S, R, S)
+    cols = (jnp.arange(S)[None, :] + jnp.arange(S)[:, None]) % S
+    q_shift = query[:, cols].transpose(1, 0, 2)  # (S_shifts, R, S)
+    qn = jnp.linalg.norm(q_shift, axis=1)  # (S, S) per-column norms
+    cn = jnp.linalg.norm(cands, axis=-2)  # (..., S)
+    dots = jnp.einsum("srj,...rj->...sj", q_shift, cands)  # (..., S_shift, S)
+    both = (qn[..., :, :] > 1e-6) & (cn[..., None, :] > 1e-6)
+    cos = dots / jnp.maximum(qn[..., :, :] * cn[..., None, :], 1e-6)
+    ncols = jnp.maximum(jnp.sum(both, axis=-1), 1)
+    dist_per_shift = jnp.sum(jnp.where(both, 1.0 - cos, 0.0), axis=-1) / ncols
+    # empty-overlap shifts are meaningless — give them max distance
+    dist_per_shift = jnp.where(jnp.sum(both, axis=-1) > 0, dist_per_shift, 2.0)
+    shift = jnp.argmin(dist_per_shift, axis=-1)
+    dist = jnp.take_along_axis(dist_per_shift, shift[..., None], axis=-1)[..., 0]
+    return dist, shift.astype(jnp.int32)
+
+
+def shift_to_yaw(shift: jax.Array, sectors: int = SECTORS) -> jax.Array:
+    """Aligning sector shift -> relative yaw (rad), wrapped to (-pi, pi].
+
+    A shift of +s means the candidate viewed from the query frame is rotated
+    by yaw = 2π·s/sectors (ref `SceneRecognitionScanContext.hpp:325-332`)."""
+    yaw = 2.0 * jnp.pi * shift.astype(jnp.float32) / sectors
+    return jnp.where(yaw > jnp.pi, yaw - 2.0 * jnp.pi, yaw)
+
+
+@partial(jax.jit, static_argnames=("num_candidates",))
+def sc_search(
+    query_sc: jax.Array,
+    db_sc: jax.Array,
+    db_ring_key: jax.Array,
+    db_valid: jax.Array,
+    num_candidates: int = 10,
+):
+    """Two-stage place search over a padded descriptor database.
+
+    Stage 1: ring-key L2 distance over the whole DB (one matmul) → top-K.
+    Stage 2: full shifted SC distance on the K candidates.
+
+    Returns (best_id int32, best_dist f32, yaw f32). best_id is −1 when the
+    DB has no valid entries; callers gate on a distance threshold
+    (SC_DIST_THRES 0.2, `SceneRecognitionScanContext.hpp:35`).
+    """
+    qk = ring_key(query_sc)  # (R,)
+    d = jnp.sum((db_ring_key - qk[None, :]) ** 2, axis=-1)
+    d = jnp.where(db_valid, d, jnp.float32(3.4e38))
+    _, cand = jax.lax.top_k(-d, num_candidates)
+    cand_sc = db_sc[cand]
+    dist, shift = sc_distance(query_sc, cand_sc)
+    dist = jnp.where(db_valid[cand], dist, jnp.float32(3.4e38))
+    best = jnp.argmin(dist)
+    any_valid = jnp.any(db_valid)
+    best_id = jnp.where(any_valid, cand[best], -1).astype(jnp.int32)
+    return best_id, dist[best], shift_to_yaw(shift[best])
