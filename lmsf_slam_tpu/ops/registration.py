@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..common import se3
 from ..common.pointcloud import PointBatch
-from . import neighbors, voxel
+from . import mat3, neighbors, voxel
 
 
 class RegistrationParams(NamedTuple):
@@ -72,7 +72,7 @@ def _edge_correspondences(p_world, q_mask, map_pb: PointBatch, params):
     centroid = jnp.sum(jnp.where(nvalid[..., None], nbr, 0), axis=1) / wsum
     diff = jnp.where(nvalid[..., None], nbr - centroid[:, None, :], 0)
     cov = jnp.einsum("nki,nkj->nij", diff, diff) / wsum[..., None]
-    eigval, eigvec = jnp.linalg.eigh(cov)  # ascending
+    eigval, eigvec = mat3.sym_eigh3(cov)  # ascending, fused analytic
     direction = eigvec[..., 2]  # largest
     line_ok = eigval[:, 2] > params.edge_eig_ratio * jnp.maximum(eigval[:, 1], 1e-9)
     # perpendicular residual direction
@@ -113,7 +113,7 @@ def _surf_correspondences(p_world, q_mask, map_pb: PointBatch, params):
     centroid = jnp.sum(nbr * w[..., None], axis=1) / wsum
     diff = (nbr - centroid[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", diff, diff) / wsum[..., None]
-    eigval, eigvec = jnp.linalg.eigh(cov)
+    eigval, eigvec = mat3.sym_eigh3(cov)
     n = eigvec[..., 0]  # smallest eigenvalue direction = plane normal
     d = -jnp.sum(n * centroid, axis=-1)
     # planarity: every neighbor within plane_tol of the plane
@@ -258,7 +258,7 @@ def register_ndt(
     """
     src = PointBatch(jnp.nan_to_num(src.xyz), src.mask, src.attr)
     # precompute whitening factors per voxel: Σ^{-1} = U diag(1/λ) Uᵀ
-    eigval, eigvec = jnp.linalg.eigh(gaussians["covs"])
+    eigval, eigvec = mat3.sym_eigh3(gaussians["covs"])
     inv_sqrt = eigvec * jax.lax.rsqrt(jnp.maximum(eigval, 1e-6))[:, None, :]
     # W_v = inv_sqrt @ eigvecᵀ  → Σ^{-1/2}
     W_all = jnp.einsum("vik,vjk->vij", inv_sqrt, eigvec)
