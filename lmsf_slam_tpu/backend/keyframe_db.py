@@ -1,0 +1,321 @@
+"""Persistent keyframe / pose-graph database.
+
+TPU-native re-design of the reference's lifelong map store
+(`inc/BackEnd/pose_graph_database.hpp`): vertices + between-edges
+(`inc/BackEnd/graph.hpp:20-81`), per-keyframe feature clouds
+(`pose_graph_database.hpp:307-315` — one PCD per feature per keyframe),
+a position cloud for geometric search (`:484-491`), and scan-context
+descriptors (`SceneRecognitionScanContext.hpp:139-227`). The reference
+keeps clouds on disk and text vertices/edges; here the store is
+array-of-structs numpy on the host (single `.npz` checkpoint = the lifelong
+database) with device-resident mirrors of everything searchable (positions,
+descriptors, ring keys), so loop/relocalization candidate search is one
+batched device program instead of kdtree walks.
+
+Keyframe clouds are stored in the **sensor frame** with their odometry and
+optimized (map-frame) poses; local maps are assembled with the *current*
+optimized poses, so graph corrections automatically propagate to every later
+localization query (the reference re-reads PCDs and transforms the same way,
+`pose_graph_database.hpp:381-413`).
+"""
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import se3
+from ..common.pointcloud import PointBatch
+from ..ops import scancontext
+
+
+class GraphArrays(NamedTuple):
+    """Padded device views of the graph for the batch GN solver."""
+
+    poses: jax.Array  # (V, 7)
+    vmask: jax.Array  # (V,)
+    edges_ij: jax.Array  # (E, 2)
+    edges_z: jax.Array  # (E, 7)
+    edges_sqrtw: jax.Array  # (E, 6)
+    emask: jax.Array  # (E,)
+
+
+def _grow(arr: np.ndarray, new_cap: int) -> np.ndarray:
+    out = np.zeros((new_cap,) + arr.shape[1:], arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+class KeyframeDatabase:
+    """Append-only keyframe + pose-graph store with save/load.
+
+    Capacities grow by doubling (amortized O(1), at most log2 retraces of
+    any device program keyed on capacity).
+    """
+
+    def __init__(
+        self,
+        edge_capacity: int = 1024,
+        surf_capacity: int = 4096,
+        initial_keyframes: int = 256,
+        sc_rings: int = scancontext.RINGS,
+        sc_sectors: int = scancontext.SECTORS,
+    ):
+        self.edge_capacity = edge_capacity
+        self.surf_capacity = surf_capacity
+        self.sc_shape = (sc_rings, sc_sectors)
+        n = initial_keyframes
+        self.n_keyframes = 0
+        self.stamps = np.zeros(n, np.float64)
+        self.odom_poses = np.zeros((n, 7), np.float32)
+        self.map_poses = np.zeros((n, 7), np.float32)
+        self.edge_xyz = np.zeros((n, edge_capacity, 3), np.float32)
+        self.edge_mask = np.zeros((n, edge_capacity), bool)
+        self.surf_xyz = np.zeros((n, surf_capacity, 3), np.float32)
+        self.surf_mask = np.zeros((n, surf_capacity), bool)
+        self.sc = np.zeros((n,) + self.sc_shape, np.float32)
+        self.ring_keys = np.zeros((n, sc_rings), np.float32)
+        # graph edges
+        self.n_edges = 0
+        self.eij = np.zeros((n, 2), np.int32)
+        self.ez = np.zeros((n, 7), np.float32)
+        self.esqrtw = np.zeros((n, 6), np.float32)
+
+    # -- insertion ----------------------------------------------------------
+
+    def _ensure_kf_capacity(self, need: int):
+        cap = self.stamps.shape[0]
+        if need <= cap:
+            return
+        new = max(need, cap * 2)
+        for name in (
+            "stamps",
+            "odom_poses",
+            "map_poses",
+            "edge_xyz",
+            "edge_mask",
+            "surf_xyz",
+            "surf_mask",
+            "sc",
+            "ring_keys",
+        ):
+            setattr(self, name, _grow(getattr(self, name), new))
+
+    def _ensure_edge_capacity(self, need: int):
+        cap = self.eij.shape[0]
+        if need <= cap:
+            return
+        new = max(need, cap * 2)
+        self.eij = _grow(self.eij, new)
+        self.ez = _grow(self.ez, new)
+        self.esqrtw = _grow(self.esqrtw, new)
+
+    def add_keyframe(
+        self,
+        stamp: float,
+        odom_pose,
+        map_pose,
+        edge_pb: PointBatch,
+        surf_pb: PointBatch,
+        sc=None,
+    ) -> int:
+        """Store a keyframe (clouds in sensor frame). Returns its id.
+
+        ``sc`` may be precomputed; otherwise it is built here from the
+        concatenated feature clouds (reference computes it per keyframe at
+        insertion, `SceneRecognitionScanContext.hpp:61-94`).
+        """
+        i = self.n_keyframes
+        self._ensure_kf_capacity(i + 1)
+        self.stamps[i] = float(stamp)
+        self.odom_poses[i] = np.asarray(odom_pose, np.float32)
+        self.map_poses[i] = np.asarray(map_pose, np.float32)
+
+        exyz = np.asarray(edge_pb.xyz, np.float32)
+        emask = np.asarray(edge_pb.mask)
+        ne = min(exyz.shape[0], self.edge_capacity)
+        self.edge_xyz[i, :ne] = exyz[:ne]
+        self.edge_mask[i, :ne] = emask[:ne]
+        sxyz = np.asarray(surf_pb.xyz, np.float32)
+        smask = np.asarray(surf_pb.mask)
+        ns = min(sxyz.shape[0], self.surf_capacity)
+        self.surf_xyz[i, :ns] = sxyz[:ns]
+        self.surf_mask[i, :ns] = smask[:ns]
+
+        if sc is None:
+            both = PointBatch(
+                jnp.concatenate([jnp.asarray(exyz[:ne]), jnp.asarray(sxyz[:ns])]),
+                jnp.concatenate([jnp.asarray(emask[:ne]), jnp.asarray(smask[:ns])]),
+            )
+            sc = scancontext.make_scan_context(
+                both, rings=self.sc_shape[0], sectors=self.sc_shape[1]
+            )
+        self.sc[i] = np.asarray(sc, np.float32)
+        self.ring_keys[i] = np.asarray(scancontext.ring_key(jnp.asarray(sc)))
+        self.n_keyframes = i + 1
+        return i
+
+    def add_edge(self, i: int, j: int, z, noise=None) -> int:
+        """Between-edge i→j with per-dim noise (σ²); information = 1/noise
+        (reference `graph_optimization_g2o.cpp:108-183`). Default noise is
+        the reference's hardcoded odometry noise [0.0025×3 trans, 1e-4×3 rot]
+        (`backend_lifelong.hpp:456-475`)."""
+        if noise is None:
+            noise = np.array([1e-4] * 3 + [0.0025] * 3)  # [rot, trans] order
+        e = self.n_edges
+        self._ensure_edge_capacity(e + 1)
+        self.eij[e] = (i, j)
+        self.ez[e] = np.asarray(z, np.float32)
+        self.esqrtw[e] = 1.0 / np.sqrt(np.asarray(noise, np.float64))
+        self.n_edges = e + 1
+        return e
+
+    # -- queries ------------------------------------------------------------
+
+    def keyframe_clouds(self, i: int) -> tuple[PointBatch, PointBatch]:
+        return (
+            PointBatch(jnp.asarray(self.edge_xyz[i]), jnp.asarray(self.edge_mask[i])),
+            PointBatch(jnp.asarray(self.surf_xyz[i]), jnp.asarray(self.surf_mask[i])),
+        )
+
+    def positions(self) -> np.ndarray:
+        return self.map_poses[: self.n_keyframes, 4:]
+
+    def local_map(
+        self, center_id: int, half_window: int = 5
+    ) -> tuple[PointBatch, PointBatch]:
+        """Union of keyframes [center−h, center+h] transformed to map frame
+        with current optimized poses — the reference's adjacent-id local map
+        (`pose_graph_database.hpp:381-413`) minus its end-wraparound bug
+        (Appendix A): ids are clamped, never wrapped."""
+        lo = max(0, center_id - half_window)
+        hi = min(self.n_keyframes - 1, center_id + half_window)
+        return self.local_map_ids(np.arange(lo, hi + 1))
+
+    def local_map_ids(self, ids: np.ndarray) -> tuple[PointBatch, PointBatch]:
+        """Union local map of an arbitrary keyframe id set (used by the
+        localization kNN assembly, `backend_lifelong.hpp:242-289`)."""
+        ids = np.asarray(ids, np.int64)
+        poses = jnp.asarray(self.map_poses[ids])  # (K,7)
+        e_xyz = jnp.asarray(self.edge_xyz[ids])  # (K,E,3)
+        s_xyz = jnp.asarray(self.surf_xyz[ids])
+        e_w = se3.pose_apply(poses[:, None, :].repeat(e_xyz.shape[1], 1), e_xyz)
+        s_w = se3.pose_apply(poses[:, None, :].repeat(s_xyz.shape[1], 1), s_xyz)
+        edge = PointBatch(
+            e_w.reshape(-1, 3), jnp.asarray(self.edge_mask[ids]).reshape(-1)
+        )
+        surf = PointBatch(
+            s_w.reshape(-1, 3), jnp.asarray(self.surf_mask[ids]).reshape(-1)
+        )
+        return edge, surf
+
+    def graph_arrays(self, pad_to_pow2: bool = True) -> GraphArrays:
+        """Padded device arrays for ``optimize_pose_graph`` (gauge = vertex 0)."""
+        V = max(self.n_keyframes, 1)
+        E = max(self.n_edges, 1)
+        if pad_to_pow2:
+            V = 1 << (V - 1).bit_length()
+            E = 1 << (E - 1).bit_length()
+        poses = np.zeros((V, 7), np.float32)
+        poses[:, 0] = 1.0
+        poses[: self.n_keyframes] = self.map_poses[: self.n_keyframes]
+        vmask = np.zeros(V, bool)
+        vmask[: self.n_keyframes] = True
+        eij = np.zeros((E, 2), np.int32)
+        ez = np.zeros((E, 7), np.float32)
+        ez[:, 0] = 1.0
+        esw = np.zeros((E, 6), np.float32)
+        emask = np.zeros(E, bool)
+        eij[: self.n_edges] = self.eij[: self.n_edges]
+        ez[: self.n_edges] = self.ez[: self.n_edges]
+        esw[: self.n_edges] = self.esqrtw[: self.n_edges]
+        emask[: self.n_edges] = True
+        return GraphArrays(
+            jnp.asarray(poses),
+            jnp.asarray(vmask),
+            jnp.asarray(eij),
+            jnp.asarray(ez),
+            jnp.asarray(esw),
+            jnp.asarray(emask),
+        )
+
+    def update_poses(self, optimized: np.ndarray):
+        """Write back optimized poses for all keyframes (full 7-dof — the
+        reference's z-drop bug `pose_graph_database.hpp:449-451` is not
+        replicated)."""
+        self.map_poses[: self.n_keyframes] = np.asarray(
+            optimized[: self.n_keyframes], np.float32
+        )
+
+    def descriptor_arrays(self, pad_to_pow2: bool = True):
+        """(sc (N,R,S), ring_keys (N,R), valid (N,)) device arrays."""
+        N = max(self.n_keyframes, 1)
+        if pad_to_pow2:
+            N = 1 << (N - 1).bit_length()
+        sc = np.zeros((N,) + self.sc_shape, np.float32)
+        rk = np.zeros((N, self.sc_shape[0]), np.float32)
+        valid = np.zeros(N, bool)
+        sc[: self.n_keyframes] = self.sc[: self.n_keyframes]
+        rk[: self.n_keyframes] = self.ring_keys[: self.n_keyframes]
+        valid[: self.n_keyframes] = True
+        return jnp.asarray(sc), jnp.asarray(rk), jnp.asarray(valid)
+
+    # -- persistence (the lifelong checkpoint) -------------------------------
+
+    def save(self, path: str):
+        """One-file checkpoint of the whole lifelong database
+        (reference: text vertices/edges + pose PCDs + per-KF PCDs +
+        descriptor text DB, `pose_graph_database.hpp:40-59`)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        n, e = self.n_keyframes, self.n_edges
+        np.savez_compressed(
+            path,
+            version=1,
+            stamps=self.stamps[:n],
+            odom_poses=self.odom_poses[:n],
+            map_poses=self.map_poses[:n],
+            edge_xyz=self.edge_xyz[:n],
+            edge_mask=self.edge_mask[:n],
+            surf_xyz=self.surf_xyz[:n],
+            surf_mask=self.surf_mask[:n],
+            sc=self.sc[:n],
+            ring_keys=self.ring_keys[:n],
+            eij=self.eij[:e],
+            ez=self.ez[:e],
+            esqrtw=self.esqrtw[:e],
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "KeyframeDatabase":
+        z = np.load(path)
+        n = z["stamps"].shape[0]
+        e = z["eij"].shape[0]
+        db = cls(
+            edge_capacity=z["edge_xyz"].shape[1],
+            surf_capacity=z["surf_xyz"].shape[1],
+            initial_keyframes=max(n, 1),
+            sc_rings=z["sc"].shape[1],
+            sc_sectors=z["sc"].shape[2],
+        )
+        db.n_keyframes = n
+        for name in (
+            "stamps",
+            "odom_poses",
+            "map_poses",
+            "edge_xyz",
+            "edge_mask",
+            "surf_xyz",
+            "surf_mask",
+            "sc",
+            "ring_keys",
+        ):
+            getattr(db, name)[:n] = z[name]
+        db._ensure_edge_capacity(max(e, 1))
+        db.n_edges = e
+        db.eij[:e] = z["eij"]
+        db.ez[:e] = z["ez"]
+        db.esqrtw[:e] = z["esqrtw"]
+        return db

@@ -1,0 +1,273 @@
+"""Lifelong SLAM backend: RELOCALIZATION / LOCALIZATION / MAPPING mode FSM.
+
+Capability parity with the reference's signature component
+(`inc/BackEnd/backend_lifelong.hpp`):
+
+- work-mode FSM (`:38-43`);
+- boot with an existing database → RELOCALIZATION (`Load()` `:97-118`);
+- relocalization on keyframe arrival: appearance match → on success set
+  ``odom→map`` and switch to LOCALIZATION (`:141-157`);
+- LOCALIZATION: kNN search of the historical position cloud (k=10,
+  `:242-247`) → assemble a local map from those keyframes → scan-to-map
+  registration → alignment evaluation (`:283-323`), then the three-way gate
+  (`:324-380`): score>1 → lost → RELOCALIZATION; score≤0.04 with overlap in
+  (0.5, 0.9) → **map update**: re-link the keyframe to the nearest node and
+  switch to MAPPING (map extension while localizing); otherwise refresh
+  ``odom→map``;
+- MAPPING: batch-append vertices + between edges (≤10 per cycle, `:50`),
+  feed the loop detector, optimize on loop closure, write optimized poses
+  back to the database, recompute ``odom→map``, and on a closed loop switch
+  to LOCALIZATION (auto mapping→localization on revisit, `:421-426`);
+- timestamp-disorder guard at ingest (`:131-139`).
+
+TPU-first: the FSM itself is tiny host logic; every arrow of the FSM bottoms
+out in one fused device program (registration, alignment evaluation,
+descriptor search, batch pose-graph GN).
+"""
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import se3
+from ..common.pointcloud import PointBatch
+from ..ops.registration import (
+    RegistrationParams,
+    evaluate_alignment,
+    register_edge_surf,
+)
+from .keyframe_db import KeyframeDatabase
+from .loop_closure import LoopConfig, LoopDetector
+from .pose_graph import PoseGraphParams, optimize_pose_graph
+
+
+class WorkMode(enum.Enum):
+    RELOCALIZATION = 0
+    LOCALIZATION = 1
+    MAPPING = 2
+
+
+class LifelongConfig(NamedTuple):
+    localization_knn: int = 10  # historical nodes in the local map (:242-247)
+    lost_score: float = 1.0  # localization-loss gate (:324-352)
+    map_update_score: float = 0.04  # map-extension gate (:355-373)
+    map_update_overlap_lo: float = 0.5
+    map_update_overlap_hi: float = 0.9
+    optimize_batch: int = 10  # max KFs per optimization cycle (:50)
+    localization_params: RegistrationParams = RegistrationParams(
+        max_iters=8, max_corr_dist=2.0
+    )
+    pose_graph: PoseGraphParams = PoseGraphParams()
+    # odometry between-edge noise σ² [rot×3, trans×3] (:456-475)
+    odom_noise_rot: float = 1e-4
+    odom_noise_trans: float = 0.0025
+
+
+class BackendOutput(NamedTuple):
+    mode: WorkMode
+    keyframe_id: int  # id in the database, -1 if not stored
+    map_pose: np.ndarray  # (7,) current map-frame pose estimate
+    odom2map: np.ndarray  # (7,) odom→map correction
+    loop_closed: bool
+    score: float  # localization / verification score (nan in pure mapping)
+    overlap: float
+
+
+class LifelongBackend:
+    """Host-side FSM orchestrating the device kernels.
+
+    ``add_keyframe(stamp, edge, surf, odom_pose)`` is the single entry point
+    (reference `AddKeyFrame`, `backend_lifelong.hpp:126-173`); clouds are in
+    the sensor frame, ``odom_pose`` in the front-end odometry frame.
+    """
+
+    def __init__(
+        self,
+        db: Optional[KeyframeDatabase] = None,
+        config: LifelongConfig = LifelongConfig(),
+        loop_config: LoopConfig = LoopConfig(),
+        mode: Optional[WorkMode] = None,
+    ):
+        self.db = db if db is not None else KeyframeDatabase()
+        self.config = config
+        self.loop_detector = LoopDetector(loop_config)
+        # boot semantics: empty DB → MAPPING; loaded DB → RELOCALIZATION
+        # (reference Load() backend_lifelong.hpp:97-118)
+        if mode is None:
+            mode = (
+                WorkMode.RELOCALIZATION
+                if self.db.n_keyframes > 0
+                else WorkMode.MAPPING
+            )
+        self.mode = mode
+        self.odom2map = np.asarray(se3.pose_identity())
+        self.last_stamp = -np.inf
+        self._pending = 0  # keyframes appended since last optimize
+
+    # -- helpers --------------------------------------------------------------
+
+    def _map_pose(self, odom_pose) -> np.ndarray:
+        return np.asarray(
+            se3.pose_compose(jnp.asarray(self.odom2map), jnp.asarray(odom_pose))
+        )
+
+    def _set_odom2map(self, map_pose, odom_pose):
+        self.odom2map = np.asarray(
+            se3.pose_compose(
+                jnp.asarray(map_pose), se3.pose_inverse(jnp.asarray(odom_pose))
+            )
+        )
+
+    def _knn_local_map(self, position: np.ndarray):
+        """Local map from the k nearest historical keyframes (:242-289)."""
+        k = min(self.config.localization_knn, self.db.n_keyframes)
+        pos = self.db.positions()
+        d = np.linalg.norm(pos - position[None, :], axis=1)
+        ids = np.argsort(d)[:k]
+        return self.db.local_map_ids(np.sort(ids))
+
+    # -- FSM arrows -----------------------------------------------------------
+
+    def _do_relocalization(self, stamp, edge, surf, odom_pose) -> BackendOutput:
+        res = self.loop_detector.relocalize(self.db, edge, surf)
+        if res is None:
+            return BackendOutput(
+                self.mode, -1, self._map_pose(odom_pose), self.odom2map,
+                False, np.nan, 0.0,
+            )
+        self._set_odom2map(res.pose, odom_pose)
+        self.mode = WorkMode.LOCALIZATION
+        return BackendOutput(
+            self.mode, -1, res.pose, self.odom2map, False, res.score, res.overlap
+        )
+
+    def _do_localization(self, stamp, edge, surf, odom_pose) -> BackendOutput:
+        cfg = self.config
+        pred = jnp.asarray(self._map_pose(odom_pose))
+        map_edge, map_surf = self._knn_local_map(np.asarray(pred)[4:])
+        reg = register_edge_surf(
+            edge, surf, map_edge, map_surf, pred, cfg.localization_params
+        )
+        score, overlap = evaluate_alignment(
+            surf, map_surf, reg.pose, min_overlap=0.1
+        )
+        score, overlap = float(score), float(overlap)
+
+        if score > cfg.lost_score:
+            # localization lost (:324-352)
+            self.mode = WorkMode.RELOCALIZATION
+            return BackendOutput(
+                self.mode, -1, np.asarray(reg.pose), self.odom2map, False,
+                score, overlap,
+            )
+
+        if (
+            score <= cfg.map_update_score
+            and cfg.map_update_overlap_lo < overlap < cfg.map_update_overlap_hi
+        ):
+            # map extension: store the keyframe, link to the nearest node,
+            # switch to MAPPING (:355-373)
+            map_pose = np.asarray(reg.pose)
+            kf_id = self.db.add_keyframe(stamp, odom_pose, map_pose, edge, surf)
+            pos = self.db.positions()[: kf_id]
+            nearest = int(np.argmin(np.linalg.norm(pos - map_pose[4:], axis=1)))
+            z = se3.pose_between(
+                jnp.asarray(self.db.map_poses[nearest]), jnp.asarray(map_pose)
+            )
+            self.db.add_edge(
+                nearest, kf_id, np.asarray(z),
+                np.array([cfg.odom_noise_rot] * 3 + [cfg.odom_noise_trans] * 3),
+            )
+            self._pending += 1
+            self._set_odom2map(map_pose, odom_pose)
+            self.mode = WorkMode.MAPPING
+            return BackendOutput(
+                self.mode, kf_id, map_pose, self.odom2map, False, score, overlap
+            )
+
+        # healthy localization: refresh odom→map (:374-380)
+        self._set_odom2map(np.asarray(reg.pose), odom_pose)
+        return BackendOutput(
+            self.mode, -1, np.asarray(reg.pose), self.odom2map, False,
+            score, overlap,
+        )
+
+    def _do_mapping(self, stamp, edge, surf, odom_pose) -> BackendOutput:
+        cfg = self.config
+        map_pose = self._map_pose(odom_pose)
+        kf_id = self.db.add_keyframe(stamp, odom_pose, map_pose, edge, surf)
+        if kf_id > 0:
+            z = se3.pose_between(
+                jnp.asarray(self.db.map_poses[kf_id - 1]), jnp.asarray(map_pose)
+            )
+            self.db.add_edge(
+                kf_id - 1, kf_id, np.asarray(z),
+                np.array([cfg.odom_noise_rot] * 3 + [cfg.odom_noise_trans] * 3),
+            )
+        self._pending += 1
+
+        loop = self.loop_detector.detect(self.db, kf_id, edge, surf)
+        loop_closed = loop is not None
+        if loop_closed:
+            self.db.add_edge(loop.from_id, loop.to_id, loop.z, loop.noise)
+
+        if loop_closed or self._pending >= cfg.optimize_batch:
+            self.optimize()
+            self._pending = 0
+            map_pose = self.db.map_poses[kf_id].copy()
+            self._set_odom2map(map_pose, odom_pose)
+            if loop_closed:
+                # revisiting mapped area → auto-switch to localization (:421-426)
+                self.mode = WorkMode.LOCALIZATION
+        return BackendOutput(
+            self.mode, kf_id, np.asarray(map_pose), self.odom2map, loop_closed,
+            np.nan, np.nan,
+        )
+
+    # -- public API -------------------------------------------------------------
+
+    def add_keyframe(
+        self, stamp: float, edge: PointBatch, surf: PointBatch, odom_pose
+    ) -> BackendOutput:
+        if stamp < self.last_stamp:
+            # timestamp disorder guard (:131-139): drop the keyframe
+            return BackendOutput(
+                self.mode, -1, self._map_pose(odom_pose), self.odom2map,
+                False, np.nan, np.nan,
+            )
+        self.last_stamp = stamp
+        odom_pose = np.asarray(odom_pose, np.float32)
+        if self.mode is WorkMode.RELOCALIZATION:
+            return self._do_relocalization(stamp, edge, surf, odom_pose)
+        if self.mode is WorkMode.LOCALIZATION:
+            return self._do_localization(stamp, edge, surf, odom_pose)
+        return self._do_mapping(stamp, edge, surf, odom_pose)
+
+    def optimize(self):
+        """Batch GN over the whole graph; write poses back
+        (`mapping()`/`optimize()` `:390-431,541-575`)."""
+        if self.db.n_edges == 0 or self.db.n_keyframes < 2:
+            return None
+        g = self.db.graph_arrays()
+        poses, stats = optimize_pose_graph(
+            g.poses, g.vmask, g.edges_ij, g.edges_z, g.edges_sqrtw, g.emask,
+            params=self.config.pose_graph,
+        )
+        self.db.update_poses(np.asarray(poses))
+        return stats
+
+    def force_global_optimize(self):
+        """Reference `ForceGlobalOptimaze` (`backend_base.hpp:59-67`)."""
+        return self.optimize()
+
+    def save(self, path: str):
+        self.db.save(path)
+
+    @classmethod
+    def load(cls, path: str, **kwargs) -> "LifelongBackend":
+        """Boot from an existing database → RELOCALIZATION mode
+        (reference `Load()` `backend_lifelong.hpp:97-118`)."""
+        return cls(db=KeyframeDatabase.load(path), **kwargs)

@@ -1,0 +1,240 @@
+"""Loop detection + appearance relocalization.
+
+Capability parity with the reference's loop stack
+(`inc/LoopDetection/loopDetection.hpp` + `SceneRecognitionScanContext.hpp`):
+
+- two-stage candidate search: scan-context first, geometric position search
+  as fallback (`loopDetection.hpp:301-342`);
+- candidates must be old enough (≥ ``min_frame_interval`` keyframes,
+  reference `MIN_LOOP_FRAME_INTERVAL_` `:38`) and, for the position
+  fallback, within ``search_radius`` (≤10 m, `:304-342`);
+- two-stage geometric verification: rough registration (coarse resolution)
+  → alignment evaluation (gate ``rough_score_thresh``=1) → refined
+  registration → alignment evaluation (gate ``refine_score_thresh``=0.05)
+  (`:349-456`);
+- relocalization: scan-context best match → rough+refine registration vs the
+  ±``adjacent_window`` local map of the match → accept at score ≤ 0.05
+  (`loopDetection.hpp:102-188`).
+
+TPU-first design: the descriptor search is one batched device program over
+the padded descriptor DB (no nanoflann ring-key kdtree, no candidate loop);
+geometric verification is the fused edge/surf GN registration at two
+correspondence gates instead of two NDT resolutions — same rough→refine
+structure, same acceptance thresholds, one compiled program each.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import se3
+from ..common.pointcloud import PointBatch
+from ..ops import scancontext
+from ..ops.registration import (
+    RegistrationParams,
+    evaluate_alignment,
+    register_edge_surf,
+)
+from .keyframe_db import KeyframeDatabase
+
+
+class LoopConfig(NamedTuple):
+    sc_dist_thresh: float = 0.2  # SC_DIST_THRES (SceneRecognition...hpp:35)
+    exclude_recent: int = 50  # newest KFs excluded from search (:30-33)
+    min_frame_interval: int = 100  # candidate must be ≥ this much older (:38)
+    detect_spacing: int = 3  # frames between detection attempts (:36-37)
+    search_radius: float = 10.0  # position-fallback radius (:304-342)
+    adjacent_window: int = 5  # ±KFs in the verification local map (:102-188)
+    rough_score_thresh: float = 1.0  # (:413)
+    refine_score_thresh: float = 0.05  # (:453)
+    reloc_score_thresh: float = 0.05  # (:181-184)
+    min_overlap: float = 0.5  # alignment evaluator overlap gate
+    # loop-edge noise (σ²) [rot×3, trans×3] — reference fixed loop noise
+    loop_noise_rot: float = 0.0025
+    loop_noise_trans: float = 0.01
+    rough_params: RegistrationParams = RegistrationParams(
+        max_iters=8, max_corr_dist=4.0, huber_delta=2.0
+    )
+    refine_params: RegistrationParams = RegistrationParams(
+        max_iters=10, max_corr_dist=1.0
+    )
+
+
+class LoopResult(NamedTuple):
+    from_id: int  # historical keyframe
+    to_id: int  # new keyframe
+    z: np.ndarray  # (7,) relative pose from→to (in from's frame)
+    noise: np.ndarray  # (6,) σ² [rot, trans]
+    score: float
+    overlap: float
+
+
+class RelocResult(NamedTuple):
+    pose: np.ndarray  # (7,) map-frame pose of the query scan
+    matched_id: int
+    score: float
+    overlap: float
+
+
+class LoopDetector:
+    """Host-orchestrated loop detection over device search/verify kernels."""
+
+    def __init__(self, config: LoopConfig = LoopConfig()):
+        self.config = config
+        self._last_attempt = -(10**9)
+
+    # -- candidate search ---------------------------------------------------
+
+    def _sc_candidate(self, db: KeyframeDatabase, query_sc, newest_id: int):
+        cfg = self.config
+        sc_db, rk_db, valid = db.descriptor_arrays()
+        cutoff = newest_id - max(cfg.exclude_recent, cfg.min_frame_interval)
+        if cutoff <= 0:
+            return None
+        idx = np.arange(valid.shape[0])
+        valid = jnp.asarray(np.asarray(valid) & (idx < cutoff))
+        best_id, dist, yaw = scancontext.sc_search(query_sc, sc_db, rk_db, valid)
+        best_id, dist, yaw = int(best_id), float(dist), float(yaw)
+        if best_id < 0 or dist > cfg.sc_dist_thresh:
+            return None
+        return best_id, yaw
+
+    def _position_candidate(self, db: KeyframeDatabase, query_xyz, newest_id: int):
+        cfg = self.config
+        cutoff = newest_id - cfg.min_frame_interval
+        if cutoff <= 0:
+            return None
+        pos = db.positions()[:cutoff]
+        d = np.linalg.norm(pos - np.asarray(query_xyz)[None, :], axis=1)
+        best = int(np.argmin(d))
+        if d[best] > cfg.search_radius:
+            return None
+        return best, 0.0  # no yaw prior from geometry
+
+    # -- two-stage geometric verification ------------------------------------
+
+    def _verify(
+        self,
+        db: KeyframeDatabase,
+        cand_id: int,
+        edge_pb: PointBatch,
+        surf_pb: PointBatch,
+        init_pose,
+    ):
+        """rough → evaluate → refine → evaluate. Returns (pose, score,
+        overlap) or None. ``init_pose`` is the map-frame initial guess of the
+        query scan."""
+        cfg = self.config
+        map_edge, map_surf = db.local_map(cand_id, cfg.adjacent_window)
+        rough = register_edge_surf(
+            edge_pb, surf_pb, map_edge, map_surf, jnp.asarray(init_pose),
+            cfg.rough_params,
+        )
+        score, overlap = evaluate_alignment(
+            surf_pb, map_surf, rough.pose, min_overlap=cfg.min_overlap
+        )
+        if float(score) > cfg.rough_score_thresh:
+            return None
+        refined = register_edge_surf(
+            edge_pb, surf_pb, map_edge, map_surf, rough.pose, cfg.refine_params
+        )
+        score, overlap = evaluate_alignment(
+            surf_pb, map_surf, refined.pose, min_overlap=cfg.min_overlap
+        )
+        if float(score) > cfg.refine_score_thresh:
+            return None
+        return np.asarray(refined.pose), float(score), float(overlap)
+
+    # -- public API -----------------------------------------------------------
+
+    def detect(
+        self,
+        db: KeyframeDatabase,
+        new_id: int,
+        edge_pb: PointBatch,
+        surf_pb: PointBatch,
+    ) -> Optional[LoopResult]:
+        """Try to close a loop for keyframe ``new_id`` (clouds in sensor
+        frame). Returns a verified loop edge or None."""
+        cfg = self.config
+        if new_id - self._last_attempt < cfg.detect_spacing:
+            return None
+        self._last_attempt = new_id
+
+        query_sc = jnp.asarray(db.sc[new_id])
+        cand = self._sc_candidate(db, query_sc, new_id)
+        yaw_prior = None
+        if cand is not None:
+            cand_id, yaw = cand
+            yaw_prior = yaw
+        else:
+            cand = self._position_candidate(
+                db, db.map_poses[new_id, 4:], new_id
+            )
+            if cand is None:
+                return None
+            cand_id, yaw_prior = cand
+
+        # initial guess: candidate pose ∘ yaw-alignment, snapped to the
+        # candidate's z (reference snaps z to historical, loopDetection:304-342)
+        cand_pose = jnp.asarray(db.map_poses[cand_id])
+        yaw_rot = se3.so3_exp_quat(jnp.asarray([0.0, 0.0, yaw_prior], jnp.float32))
+        init = se3.pose_compose(
+            cand_pose, se3.make_pose(yaw_rot, jnp.zeros(3))
+        )
+        # keep the odometry-estimated xy offset when geometry suggested it
+        ver = self._verify(db, cand_id, edge_pb, surf_pb, init)
+        if ver is None and cfg.rough_score_thresh < 1e8:
+            # second try from the drifted odometry pose (covers the case
+            # where drift is small but yaw prior is wrong)
+            ver = self._verify(
+                db, cand_id, edge_pb, surf_pb, jnp.asarray(db.map_poses[new_id])
+            )
+        if ver is None:
+            return None
+        pose_new, score, overlap = ver
+        z = np.asarray(
+            se3.pose_between(jnp.asarray(db.map_poses[cand_id]), jnp.asarray(pose_new))
+        )
+        noise = np.array(
+            [self.config.loop_noise_rot] * 3 + [self.config.loop_noise_trans] * 3
+        )
+        return LoopResult(cand_id, new_id, z, noise, score, overlap)
+
+    def relocalize(
+        self,
+        db: KeyframeDatabase,
+        edge_pb: PointBatch,
+        surf_pb: PointBatch,
+    ) -> Optional[RelocResult]:
+        """Appearance-based global relocalization of a scan against the whole
+        database (`loopDetection.hpp:102-188`): SC best match → two-stage
+        registration vs its local map → accept at score ≤ 0.05."""
+        cfg = self.config
+        if db.n_keyframes == 0:
+            return None
+        both = PointBatch(
+            jnp.concatenate([edge_pb.xyz, surf_pb.xyz]),
+            jnp.concatenate([edge_pb.mask, surf_pb.mask]),
+        )
+        query_sc = scancontext.make_scan_context(
+            both, rings=db.sc_shape[0], sectors=db.sc_shape[1]
+        )
+        sc_db, rk_db, valid = db.descriptor_arrays()
+        best_id, dist, yaw = scancontext.sc_search(query_sc, sc_db, rk_db, valid)
+        best_id, dist, yaw = int(best_id), float(dist), float(yaw)
+        if best_id < 0 or dist > cfg.sc_dist_thresh:
+            return None
+        cand_pose = jnp.asarray(db.map_poses[best_id])
+        yaw_rot = se3.so3_exp_quat(jnp.asarray([0.0, 0.0, yaw], jnp.float32))
+        init = se3.pose_compose(cand_pose, se3.make_pose(yaw_rot, jnp.zeros(3)))
+        ver = self._verify(db, best_id, edge_pb, surf_pb, init)
+        if ver is None:
+            return None
+        pose, score, overlap = ver
+        if score > cfg.reloc_score_thresh:
+            return None
+        return RelocResult(pose, best_id, score, overlap)

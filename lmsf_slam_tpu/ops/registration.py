@@ -51,6 +51,10 @@ class RegistrationResult(NamedTuple):
     iterations: jax.Array  # int32 — iterations until convergence
     num_matches: jax.Array  # int32 — valid correspondences at final iter
     final_cost: jax.Array  # mean robust cost
+    n_constrained: jax.Array  # int32 — eigendirections of JᵀJ above the
+    # degeneracy floor at the last active iteration; < 6 means the solution
+    # is unconstrained along some motion (e.g. ground-plane-only match:
+    # x/y/yaw free). Loop-closure verification requires 6.
 
 
 # ---------------------------------------------------------------------------
