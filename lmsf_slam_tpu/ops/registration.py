@@ -181,7 +181,7 @@ def register_edge_surf(
     src_surf = PointBatch(jnp.nan_to_num(src_surf.xyz), src_surf.mask, src_surf.attr)
 
     def step(carry, _):
-        pose, done, iters = carry
+        pose, done, iters, _n_con_prev = carry
         R = se3.quat_to_matrix(se3.pose_quat(pose))
         pe_w = se3.pose_apply(pose, src_edge.xyz)
         ps_w = se3.pose_apply(pose, src_surf.xyz)
@@ -196,20 +196,22 @@ def register_edge_surf(
         He, ge = _gn_normal_equations(src_edge.xyz, ne, re, we, R)
         Hs, gs = _gn_normal_equations(src_surf.xyz, ns, rs, ws, R)
         H, g = He + Hs, ge + gs
-        xi, _ = _solve_degenerate(H, g, params)
+        xi, n_ok = _solve_degenerate(H, g, params)
         new_pose = se3.pose_retract(pose, xi)
 
         small = (jnp.linalg.norm(xi[:3]) < params.rot_converged) & (
             jnp.linalg.norm(xi[3:]) < params.trans_converged
         )
         pose = jnp.where(done, pose, new_pose)
+        # n_constrained tracked at the last ACTIVE iteration; freeze after done
+        n_con = jnp.where(done, _n_con_prev, n_ok.astype(jnp.int32))
         nmatch = jnp.sum(ve) + jnp.sum(vs)
         cost = (jnp.sum(we * re * re) + jnp.sum(ws * rs * rs)) / jnp.maximum(nmatch, 1)
         iters = iters + jnp.where(done, 0, 1)
-        return (pose, done | small, iters), (nmatch, cost)
+        return (pose, done | small, iters, n_con), (nmatch, cost)
 
-    init = (init_pose, jnp.array(False), jnp.array(0, jnp.int32))
-    (pose, done, iters), (nmatches, costs) = jax.lax.scan(
+    init = (init_pose, jnp.array(False), jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))
+    (pose, done, iters, n_con), (nmatches, costs) = jax.lax.scan(
         step, init, None, length=params.max_iters
     )
     return RegistrationResult(
@@ -218,6 +220,7 @@ def register_edge_surf(
         iterations=iters,
         num_matches=nmatches[-1],
         final_cost=costs[-1],
+        n_constrained=n_con,
     )
 
 
