@@ -60,6 +60,11 @@ class LifelongConfig(NamedTuple):
     localization_params: RegistrationParams = RegistrationParams(
         max_iters=8, max_corr_dist=2.0
     )
+    # overlap floor for the localization alignment evaluator; below this the
+    # score saturates to the lost sentinel. Deliberately lower than the loop
+    # verifier's 0.5: localization must keep reporting a usable score while
+    # the map-update gate (overlap ∈ (0.5, 0.9)) decides on extension.
+    localization_min_overlap: float = 0.1
     pose_graph: PoseGraphParams = PoseGraphParams()
     # odometry between-edge noise σ² [rot×3, trans×3] (:456-475)
     odom_noise_rot: float = 1e-4
@@ -152,7 +157,7 @@ class LifelongBackend:
             edge, surf, map_edge, map_surf, pred, cfg.localization_params
         )
         score, overlap = evaluate_alignment(
-            surf, map_surf, reg.pose, min_overlap=0.1
+            surf, map_surf, reg.pose, min_overlap=cfg.localization_min_overlap
         )
         score, overlap = float(score), float(overlap)
 

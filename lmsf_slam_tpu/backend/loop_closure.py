@@ -52,6 +52,13 @@ class LoopConfig(NamedTuple):
     refine_score_thresh: float = 0.05  # (:453)
     reloc_score_thresh: float = 0.05  # (:181-184)
     min_overlap: float = 0.5  # alignment evaluator overlap gate
+    # odometry-plausibility gate: a verified loop implies a map-frame
+    # correction of the query pose; reject corrections larger than this.
+    # The reference bounds geometric candidates to a ≤10 m position search
+    # (`loopDetection.hpp:304-342`); this extends the same bound to the
+    # appearance path so a wrong-basin registration in a self-similar world
+    # cannot rewrite the trajectory (set to inf for kidnapped-robot regimes).
+    max_correction_trans: float = 10.0
     # loop-edge noise (σ²) [rot×3, trans×3] — reference fixed loop noise
     loop_noise_rot: float = 0.0025
     loop_noise_trans: float = 0.01
@@ -141,6 +148,13 @@ class LoopDetector:
         refined = register_edge_surf(
             edge_pb, surf_pb, map_edge, map_surf, rough.pose, cfg.refine_params
         )
+        # a loop edge must be fully constrained: 6/6 eigendirections of JᵀJ
+        # above the degeneracy floor AND a converged solve — a ground-plane-
+        # only or corridor match (x/y/yaw free) can score well yet fix
+        # nothing (degeneracy spec: `edgeSurfFeatureRegistration.hpp:280-308`,
+        # applied at accept time, not just solve time)
+        if not bool(refined.converged) or int(refined.n_constrained) < 6:
+            return None
         score, overlap = evaluate_alignment(
             surf_pb, map_surf, refined.pose, min_overlap=cfg.min_overlap
         )
@@ -166,36 +180,40 @@ class LoopDetector:
 
         query_sc = jnp.asarray(db.sc[new_id])
         cand = self._sc_candidate(db, query_sc, new_id)
-        yaw_prior = None
         if cand is not None:
+            # appearance candidate: init at the candidate pose rotated by the
+            # scan-context yaw alignment (the SC match carries no translation)
             cand_id, yaw = cand
-            yaw_prior = yaw
+            cand_pose = jnp.asarray(db.map_poses[cand_id])
+            yaw_rot = se3.so3_exp_quat(jnp.asarray([0.0, 0.0, yaw], jnp.float32))
+            init = se3.pose_compose(cand_pose, se3.make_pose(yaw_rot, jnp.zeros(3)))
         else:
-            cand = self._position_candidate(
-                db, db.map_poses[new_id, 4:], new_id
-            )
+            cand = self._position_candidate(db, db.map_poses[new_id, 4:], new_id)
             if cand is None:
                 return None
-            cand_id, yaw_prior = cand
+            cand_id, _ = cand
+            # geometric candidate: keep the query's own odometry estimate
+            # (drift assumed small at ≤ search_radius), z snapped to the
+            # historical candidate (reference snap, loopDetection:304-342)
+            init_np = db.map_poses[new_id].copy()
+            init_np[6] = db.map_poses[cand_id][6]
+            init = jnp.asarray(init_np)
 
-        # initial guess: candidate pose ∘ yaw-alignment, snapped to the
-        # candidate's z (reference snaps z to historical, loopDetection:304-342)
-        cand_pose = jnp.asarray(db.map_poses[cand_id])
-        yaw_rot = se3.so3_exp_quat(jnp.asarray([0.0, 0.0, yaw_prior], jnp.float32))
-        init = se3.pose_compose(
-            cand_pose, se3.make_pose(yaw_rot, jnp.zeros(3))
-        )
-        # keep the odometry-estimated xy offset when geometry suggested it
         ver = self._verify(db, cand_id, edge_pb, surf_pb, init)
-        if ver is None and cfg.rough_score_thresh < 1e8:
+        if ver is None:
             # second try from the drifted odometry pose (covers the case
-            # where drift is small but yaw prior is wrong)
+            # where drift is small but the appearance yaw/position prior is
+            # wrong — e.g. a symmetric world aliasing the scan context)
             ver = self._verify(
                 db, cand_id, edge_pb, surf_pb, jnp.asarray(db.map_poses[new_id])
             )
         if ver is None:
             return None
         pose_new, score, overlap = ver
+        # odometry-plausibility gate on the implied map-frame correction
+        corr = np.linalg.norm(pose_new[4:] - db.map_poses[new_id][4:])
+        if corr > cfg.max_correction_trans:
+            return None
         z = np.asarray(
             se3.pose_between(jnp.asarray(db.map_poses[cand_id]), jnp.asarray(pose_new))
         )

@@ -271,7 +271,7 @@ def register_ndt(
     W_all = jnp.einsum("vik,vjk->vij", inv_sqrt, eigvec)
 
     def step(carry, _):
-        pose, done, iters = carry
+        pose, done, iters, n_con_prev = carry
         R = se3.quat_to_matrix(se3.pose_quat(pose))
         p_w = se3.pose_apply(pose, src.xyz)
         # DIRECT7: smooth residual field across voxel boundaries, each
@@ -312,16 +312,24 @@ def register_ndt(
             jnp.linalg.norm(xi[3:]) < params.trans_converged
         )
         pose = jnp.where(done, pose, new_pose)
+        # n_constrained at the last ACTIVE iteration; frozen once converged
+        # (same contract as the edge/surf path)
+        n_con = jnp.where(done, n_con_prev, jnp.sum(ok).astype(jnp.int32))
         nmatch = jnp.sum(jnp.any(valid, axis=1)).astype(jnp.int32)
         cost = jnp.sum(jnp.sum(r3 * r3, -1) * w) / jnp.maximum(nmatch, 1)
         iters = iters + jnp.where(done, 0, 1)
-        return (pose, done | small, iters), (nmatch, cost)
+        return (pose, done | small, iters, n_con), (nmatch, cost)
 
-    init = (init_pose, jnp.array(False), jnp.array(0, jnp.int32))
-    (pose, done, iters), (nm, costs) = jax.lax.scan(
+    init = (
+        init_pose,
+        jnp.array(False),
+        jnp.array(0, jnp.int32),
+        jnp.array(0, jnp.int32),
+    )
+    (pose, done, iters, n_con), (nm, costs) = jax.lax.scan(
         step, init, None, length=params.max_iters
     )
-    return RegistrationResult(pose, done, iters, nm[-1], costs[-1])
+    return RegistrationResult(pose, done, iters, nm[-1], costs[-1], n_con)
 
 
 # ---------------------------------------------------------------------------
