@@ -103,6 +103,11 @@ def tracker_step(
         | (dr > config.map_update_rot)
         | (timestamp - state.last_update_time > config.map_update_dt)
     )
+    # registration health gate: a diverged solve must not pollute the local
+    # map (the reference falls back on non-convergence at the backend,
+    # `backend_lifelong.hpp:284-289`; here the map simply skips the frame —
+    # a later converged frame at the same place inserts instead)
+    need = need & (first | reg.converged)
 
     edge_w = edge.transform(new_pose)
     surf_w = surf.transform(new_pose)

@@ -1,0 +1,95 @@
+"""End-to-end System test: raw simulated scans → trajectory, through the
+single public MultiLidarSystem API (reference ML_System semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmsf_slam_tpu.backend import LifelongConfig, LoopConfig, WorkMode
+from lmsf_slam_tpu.common import se3
+from lmsf_slam_tpu.datasets import make_sim_world, make_trajectory, simulate_scan
+from lmsf_slam_tpu.evaluation import ate_stats
+from lmsf_slam_tpu.ops.registration import RegistrationParams
+from lmsf_slam_tpu.system import FeatureParams, MultiLidarSystem, SystemConfig
+
+KEY = jax.random.PRNGKey(11)
+N_FRAMES = 30
+
+
+def small_config(**kw) -> SystemConfig:
+    d = dict(
+        feature=FeatureParams(rings=16, width=360, edges_per_sector=4,
+                              surfs_per_sector=12),
+        tracker_window=8,
+        registration=RegistrationParams(max_iters=8, max_corr_dist=2.0),
+        map_update_trans=0.2,
+        keyframe_trans=0.8,
+        loop=LoopConfig(min_frame_interval=1000),  # no loops in this short run
+    )
+    d.update(kw)
+    return SystemConfig(**d)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    world = make_sim_world(KEY, extent=18.0, n_boxes=8, n_cylinders=14)
+    traj_xy = make_trajectory(N_FRAMES, radius=6.0, loop=False)
+    # lift the sensor to 1.2 m
+    traj = np.array(traj_xy)
+    traj[:, 6] = 1.2
+    return world, jnp.asarray(traj)
+
+
+def test_system_tracks_simulated_world(sim):
+    world, traj = sim
+    system = MultiLidarSystem(small_config())
+    for i in range(N_FRAMES):
+        scan = simulate_scan(
+            world, traj[i], jax.random.fold_in(KEY, i), rings=16, width=360,
+            max_range=40.0, noise=0.01,
+        )
+        res = system.process(scan, 0.1 * i)
+        assert np.isfinite(res.map_pose).all()
+    est = system.trajectory()
+    assert est.shape == (N_FRAMES, 7)
+    # gt relative to frame 0 (system odometry starts at identity)
+    gt_rel = np.asarray(se3.pose_between(traj[0], traj))
+    s = ate_stats(est, gt_rel, align=True)
+    assert s.rmse < 0.15, s
+    # keyframe gate thinned the stream: 0.8 m spacing over ~0.63 m steps
+    n_kf = system.backend.db.n_keyframes
+    assert 5 < n_kf < N_FRAMES
+    assert system.backend.mode is WorkMode.MAPPING
+
+
+def test_system_save_load_roundtrip(sim, tmp_path):
+    world, traj = sim
+    system = MultiLidarSystem(small_config())
+    for i in range(10):
+        scan = simulate_scan(
+            world, traj[i], jax.random.fold_in(KEY, i), rings=16, width=360,
+            max_range=40.0, noise=0.01,
+        )
+        system.process(scan, 0.1 * i)
+    path = str(tmp_path / "session.npz")
+    system.save(path)
+    booted = MultiLidarSystem.load(path, config=small_config())
+    assert booted.backend.mode is WorkMode.RELOCALIZATION
+    assert booted.backend.db.n_keyframes == system.backend.db.n_keyframes
+
+
+def test_system_global_map(sim):
+    world, traj = sim
+    system = MultiLidarSystem(small_config())
+    for i in range(8):
+        scan = simulate_scan(
+            world, traj[i], jax.random.fold_in(KEY, i), rings=16, width=360,
+            max_range=40.0, noise=0.01,
+        )
+        system.process(scan, 0.1 * i)
+    pts = system.global_map(voxel_size=0.5)
+    assert pts.shape[0] > 100
+    assert np.isfinite(pts).all()
+    # ground points sit near z≈-1.2 in the map frame (sensor height)
+    ground = pts[np.abs(pts[:, 2] + 1.2) < 0.15]
+    assert ground.shape[0] > 10
