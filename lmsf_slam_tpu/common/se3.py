@@ -257,3 +257,35 @@ def pose_interp(a: jax.Array, b: jax.Array, alpha) -> jax.Array:
     """Geodesic interpolation between poses (for deskew / IMU alignment)."""
     d = pose_between(a, b)
     return pose_compose(a, se3_exp(alpha * pose_log(d)))
+
+
+def quat_left_matrix(q: jax.Array) -> jax.Array:
+    """L(q): 4×4 with L(q)·p = q⊗p (batched over leading dims).
+
+    Reference: the quaternion product matrices of `Math.hpp` used by the
+    hand-eye rotation solve (`handeye_calibration_base.hpp:113-148`).
+    """
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([w, -x, -y, -z], -1),
+            jnp.stack([x, w, -z, y], -1),
+            jnp.stack([y, z, w, -x], -1),
+            jnp.stack([z, -y, x, w], -1),
+        ],
+        axis=-2,
+    )
+
+
+def quat_right_matrix(q: jax.Array) -> jax.Array:
+    """R(q): 4×4 with R(q)·p = p⊗q."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([w, -x, -y, -z], -1),
+            jnp.stack([x, w, z, -y], -1),
+            jnp.stack([y, -z, w, x], -1),
+            jnp.stack([z, y, -x, w], -1),
+        ],
+        axis=-2,
+    )

@@ -114,3 +114,41 @@ def sym_eigh3(A: jax.Array):
     v_mid = jnp.cross(v_hi, v_lo)
     V = jnp.stack([v_lo, v_mid, v_hi], axis=-1)  # columns
     return w, V
+
+
+def chol_solve6(H: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve the SPD 6×6 system H x = b by fully unrolled Cholesky.
+
+    ``jnp.linalg.eigh``/``solve`` on a single 6×6 dispatch XLA's generic
+    decomposition paths, which cost ~0.6 ms on a TPU chip — longer than an
+    entire k-NN association sweep. Unrolling the 6×6 factorization into
+    scalar graph ops lets XLA fuse it into the surrounding program for
+    effectively zero cost. Used by every GN iteration of the registration
+    solvers (one 6×6 solve per iteration).
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution Lᵀ x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..common import se3
 from ..common.pointcloud import PointBatch
-from . import mat3, neighbors, voxel
+from . import mat3, neighbors, voxel  # noqa: F401 (voxel: NDT gaussians)
 
 
 class RegistrationParams(NamedTuple):
@@ -43,6 +43,12 @@ class RegistrationParams(NamedTuple):
     damping: float = 1e-4  # LM-style diagonal damping
     trans_converged: float = 5e-4  # m   (ref: 0.05 cm)
     rot_converged: float = 1e-3  # rad (ref: 0.05°)
+    # association cadence: correspondences are rebuilt every this many GN
+    # iterations and reused in between (the reference's Ceres solver runs 4
+    # inner iterations per association, `ceres_edgeSurfFeatureRegistration
+    # .hpp:96-130`); k-NN association is the HBM-bound hot stage, so cadence
+    # 2 halves its cost at no measured accuracy loss.
+    reassociate_every: int = 2
 
 
 class RegistrationResult(NamedTuple):
@@ -161,6 +167,20 @@ def _solve_degenerate(H, g, params):
     return x, jnp.sum(ok)
 
 
+def _degeneracy_projector(H, params):
+    """Eigen-analysis of JᵀJ → (projector onto well-constrained directions,
+    count of constrained directions). Computed ONCE at the first iteration
+    and frozen — matching LOAM/the reference's degeneracy handling, which
+    eigendecomposes only on iterCount==0 (`mapOptmization_node.cpp:1433+`;
+    `edgeSurfFeatureRegistration.hpp:280-308`). Later iterations solve the
+    damped normal equations by a fused 6×6 Cholesky with a large penalty on
+    the degenerate subspace, avoiding the ~0.6 ms per-iteration XLA eigh."""
+    eigval, eigvec = jnp.linalg.eigh(H + params.damping * jnp.eye(6))
+    ok = eigval > params.degen_thresh
+    P = (eigvec * ok[None, :].astype(eigvec.dtype)) @ eigvec.T
+    return P, jnp.sum(ok).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def register_edge_surf(
     src_edge: PointBatch,
@@ -179,15 +199,23 @@ def register_edge_surf(
     # cannot poison reductions through 0·NaN
     src_edge = PointBatch(jnp.nan_to_num(src_edge.xyz), src_edge.mask, src_edge.attr)
     src_surf = PointBatch(jnp.nan_to_num(src_surf.xyz), src_surf.mask, src_surf.attr)
+    Ne, Ns = src_edge.capacity, src_surf.capacity
 
-    def step(carry, _):
-        pose, done, iters, _n_con_prev = carry
-        R = se3.quat_to_matrix(se3.pose_quat(pose))
+    def step(carry, i):
+        pose, done, iters, n_con, P, corr = carry
         pe_w = se3.pose_apply(pose, src_edge.xyz)
         ps_w = se3.pose_apply(pose, src_surf.xyz)
-        ne, de, ve = _edge_correspondences(pe_w, src_edge.mask, map_edge, params)
-        ns, ds, vs = _surf_correspondences(ps_w, src_surf.mask, map_surf, params)
 
+        def associate(_):
+            ne, de, ve = _edge_correspondences(pe_w, src_edge.mask, map_edge, params)
+            ns, ds, vs = _surf_correspondences(ps_w, src_surf.mask, map_surf, params)
+            return ne, de, ve, ns, ds, vs
+
+        do_assoc = ((i % params.reassociate_every) == 0) & ~done
+        corr = jax.lax.cond(do_assoc, associate, lambda _: corr, None)
+        ne, de, ve, ns, ds, vs = corr
+
+        R = se3.quat_to_matrix(se3.pose_quat(pose))
         re = jnp.sum(ne * pe_w, axis=-1) + de
         rs = jnp.sum(ns * ps_w, axis=-1) + ds
         we = _huber_w(re, params.huber_delta) * ve
@@ -196,23 +224,48 @@ def register_edge_surf(
         He, ge = _gn_normal_equations(src_edge.xyz, ne, re, we, R)
         Hs, gs = _gn_normal_equations(src_surf.xyz, ns, rs, ws, R)
         H, g = He + Hs, ge + gs
-        xi, n_ok = _solve_degenerate(H, g, params)
+
+        # degeneracy projector recomputed at association iterations only —
+        # H's structure changes with the correspondences, not the inner GN
+        # steps (LOAM freezes it at iter 0; with sparse feature clouds the
+        # iter-0 H underestimates constraint, so refresh per association)
+        P, n_con = jax.lax.cond(
+            do_assoc,
+            lambda _: _degeneracy_projector(H, params),
+            lambda _: (P, n_con),
+            None,
+        )
+        # fused Cholesky solve with the degenerate subspace penalized out:
+        # (H + λI + κ(I−P)) x = −g drives the solution to ~0 along degenerate
+        # directions; the explicit projection then removes the residue.
+        kappa = jnp.float32(1e7)
+        Hs_ = H + params.damping * jnp.eye(6) + kappa * (jnp.eye(6) - P)
+        xi = P @ mat3.chol_solve6(Hs_, -g)
         new_pose = se3.pose_retract(pose, xi)
 
         small = (jnp.linalg.norm(xi[:3]) < params.rot_converged) & (
             jnp.linalg.norm(xi[3:]) < params.trans_converged
         )
         pose = jnp.where(done, pose, new_pose)
-        # n_constrained tracked at the last ACTIVE iteration; freeze after done
-        n_con = jnp.where(done, _n_con_prev, n_ok.astype(jnp.int32))
         nmatch = jnp.sum(ve) + jnp.sum(vs)
         cost = (jnp.sum(we * re * re) + jnp.sum(ws * rs * rs)) / jnp.maximum(nmatch, 1)
         iters = iters + jnp.where(done, 0, 1)
-        return (pose, done | small, iters, n_con), (nmatch, cost)
+        return (pose, done | small, iters, n_con, P, corr), (nmatch, cost)
 
-    init = (init_pose, jnp.array(False), jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))
-    (pose, done, iters, n_con), (nmatches, costs) = jax.lax.scan(
-        step, init, None, length=params.max_iters
+    corr0 = (
+        jnp.zeros((Ne, 3)), jnp.zeros(Ne), jnp.zeros(Ne, bool),
+        jnp.zeros((Ns, 3)), jnp.zeros(Ns), jnp.zeros(Ns, bool),
+    )
+    init = (
+        init_pose,
+        jnp.array(False),
+        jnp.array(0, jnp.int32),
+        jnp.array(0, jnp.int32),
+        jnp.eye(6),
+        corr0,
+    )
+    (pose, done, iters, n_con, _, _), (nmatches, costs) = jax.lax.scan(
+        step, init, jnp.arange(params.max_iters), length=params.max_iters
     )
     return RegistrationResult(
         pose=pose,
@@ -235,6 +288,14 @@ def register_point_to_plane(
 # ---------------------------------------------------------------------------
 # NDT (point-to-distribution) — replaces ndt_omp
 # ---------------------------------------------------------------------------
+
+
+def _ndt_projector(H, params):
+    """NDT flavor of the degeneracy projector (threshold from NdtParams)."""
+    eigval, eigvec = jnp.linalg.eigh(H + params.damping * jnp.eye(6))
+    ok = eigval > params.degen_thresh
+    P = (eigvec * ok[None, :].astype(eigvec.dtype)) @ eigvec.T
+    return P, jnp.sum(ok).astype(jnp.int32)
 
 
 class NdtParams(NamedTuple):
@@ -270,8 +331,8 @@ def register_ndt(
     # W_v = inv_sqrt @ eigvecᵀ  → Σ^{-1/2}
     W_all = jnp.einsum("vik,vjk->vij", inv_sqrt, eigvec)
 
-    def step(carry, _):
-        pose, done, iters, n_con_prev = carry
+    def step(carry, i):
+        pose, done, iters, n_con_prev, P = carry
         R = se3.quat_to_matrix(se3.pose_quat(pose))
         p_w = se3.pose_apply(pose, src.xyz)
         # DIRECT7: smooth residual field across voxel boundaries, each
@@ -293,10 +354,20 @@ def register_ndt(
         J = jnp.concatenate([Jrot, WR], axis=-1)  # (N,7,3,6)
         H = jnp.einsum("nvri,nvrj,nv->ij", J, J, w)
         g = jnp.einsum("nvri,nvr,nv->i", J, r3, w)
-        eigval_h, eigvec_h = jnp.linalg.eigh(H + params.damping * jnp.eye(6))
-        ok = eigval_h > params.degen_thresh
-        inv = jnp.where(ok, 1.0 / jnp.maximum(eigval_h, 1e-9), 0.0)
-        xi = -eigvec_h @ (inv * (eigvec_h.T @ g))
+        # degeneracy projector refreshed every other iteration (the voxel
+        # association drifts slowly); in between, the fused 6×6 Cholesky
+        # with a degenerate-subspace penalty replaces the costly XLA eigh
+        P, n_con_prev = jax.lax.cond(
+            ((i % 2) == 0) & ~done,
+            lambda _: _ndt_projector(H, params),
+            lambda _: (P, n_con_prev),
+            None,
+        )
+        Hd = (
+            H + params.damping * jnp.eye(6)
+            + jnp.float32(1e7) * (jnp.eye(6) - P)
+        )
+        xi = P @ mat3.chol_solve6(Hd, -g)
         rot_n = jnp.linalg.norm(xi[:3])
         trn_n = jnp.linalg.norm(xi[3:])
         scale = jnp.minimum(
@@ -312,22 +383,20 @@ def register_ndt(
             jnp.linalg.norm(xi[3:]) < params.trans_converged
         )
         pose = jnp.where(done, pose, new_pose)
-        # n_constrained at the last ACTIVE iteration; frozen once converged
-        # (same contract as the edge/surf path)
-        n_con = jnp.where(done, n_con_prev, jnp.sum(ok).astype(jnp.int32))
         nmatch = jnp.sum(jnp.any(valid, axis=1)).astype(jnp.int32)
         cost = jnp.sum(jnp.sum(r3 * r3, -1) * w) / jnp.maximum(nmatch, 1)
         iters = iters + jnp.where(done, 0, 1)
-        return (pose, done | small, iters, n_con), (nmatch, cost)
+        return (pose, done | small, iters, n_con_prev, P), (nmatch, cost)
 
     init = (
         init_pose,
         jnp.array(False),
         jnp.array(0, jnp.int32),
         jnp.array(0, jnp.int32),
+        jnp.eye(6),
     )
-    (pose, done, iters, n_con), (nm, costs) = jax.lax.scan(
-        step, init, None, length=params.max_iters
+    (pose, done, iters, n_con, _), (nm, costs) = jax.lax.scan(
+        step, init, jnp.arange(params.max_iters), length=params.max_iters
     )
     return RegistrationResult(pose, done, iters, nm[-1], costs[-1], n_con)
 

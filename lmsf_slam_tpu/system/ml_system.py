@@ -24,13 +24,20 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from ..backend.keyframe_db import KeyframeDatabase
 from ..backend.lifelong import BackendOutput, LifelongBackend, LifelongConfig, WorkMode
 from ..backend.loop_closure import LoopConfig
+from ..calibration.handeye import (
+    HandEyeConfig,
+    handeye_add_pair,
+    handeye_init,
+    handeye_solve,
+)
 from ..common import se3
-from ..common.pointcloud import PointBatch
+from ..common.pointcloud import PointBatch, concat as pb_concat
 from ..ops import features as F
 from ..ops.preprocess import PreprocessParams, preprocess
-from ..ops.registration import RegistrationParams
+from ..ops.registration import RegistrationParams, register_edge_surf
 from ..tracker.tracker import TrackerConfig, tracker_init, tracker_step
 
 
@@ -60,8 +67,24 @@ class FeatureParams(NamedTuple):
 
 
 class SystemConfig(NamedTuple):
+    n_lidars: int = 1
     feature: FeatureParams = FeatureParams()
     preprocess: PreprocessParams = PreprocessParams()
+    # multi-lidar online extrinsic calibration (ML_System.hpp:239-323):
+    # phase 0 = per-lidar odometry + hand-eye init; phase 1 = refinement of
+    # each sub extrinsic against the primary local map; phase 2 = fused
+    # tracking of all lidars in the primary frame
+    handeye: HandEyeConfig = HandEyeConfig(min_pairs=10)
+    calib_refine_frames: int = 5  # accepted refinements before phase 2
+    # phase-1 refinement registration: longer leash than tracking (the
+    # hand-eye init can be decimeters off) and a degeneracy floor scaled to
+    # a single sub scan's match count rather than a fused frame's
+    calib_refine_registration: RegistrationParams = RegistrationParams(
+        max_iters=16, max_corr_dist=2.0, degen_thresh=25.0
+    )
+    # known extrinsics (list of (7,) poses of lidar i in lidar-0 frame) skip
+    # calibration entirely; None → calibrate online
+    extrinsics: Optional[tuple] = None
     # tracker (capacities derived from ``feature``)
     tracker_window: int = 20
     registration: RegistrationParams = RegistrationParams()
@@ -86,6 +109,20 @@ class FrameResult(NamedTuple):
     loop_closed: bool
     converged: bool  # front-end registration health
     num_matches: int
+    calib_status: int = 2  # 0 = hand-eye init, 1 = refining, 2 = calibrated
+
+
+def _average_poses(samples: list) -> np.ndarray:
+    """Robust average of clustered (7,) poses: sign-aligned quaternion mean
+    + component-wise MEDIAN translation — individual refinement samples
+    occasionally land decimeters off (scan-dependent minima), and the median
+    shrugs those off where a mean would drag."""
+    qs = np.stack([s[:4] for s in samples])
+    qs = np.where((qs @ qs[0])[:, None] < 0, -qs, qs)
+    q = qs.mean(axis=0)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    t = np.median(np.stack([s[4:] for s in samples]), axis=0)
+    return np.concatenate([q, t]).astype(np.float32)
 
 
 class KeyframeGate:
@@ -136,23 +173,62 @@ class MultiLidarSystem:
     ):
         self.config = config
         f = config.feature
+        n = config.n_lidars
+        # the main tracker is sized for the FUSED feature stream (n lidars);
+        # during calibration only the primary's slice is populated
         self.tracker_config = TrackerConfig(
             window=config.tracker_window,
-            edge_capacity=f.edge_capacity,
-            surf_capacity=f.surf_capacity,
+            edge_capacity=n * f.edge_capacity,
+            surf_capacity=n * f.surf_capacity,
             map_update_trans=config.map_update_trans,
             map_update_rot=config.map_update_rot,
             map_update_dt=config.map_update_dt,
             registration=config.registration,
         )
         self.tracker_state = tracker_init(self.tracker_config)
-        self.backend = backend if backend is not None else LifelongBackend(
-            config=config.lifelong, loop_config=config.loop
-        )
+        if backend is not None:
+            self.backend = backend
+        else:
+            db = KeyframeDatabase(
+                edge_capacity=n * f.edge_capacity,
+                surf_capacity=n * f.surf_capacity,
+            )
+            self.backend = LifelongBackend(
+                db=db, config=config.lifelong, loop_config=config.loop
+            )
         self.gate = KeyframeGate(
             config.keyframe_trans, config.keyframe_rot, config.keyframe_dt
         )
         self.results: list[FrameResult] = []
+
+        # -- multi-lidar calibration state (phase FSM, ML_System.hpp:239-323)
+        if config.extrinsics is not None:
+            assert len(config.extrinsics) == n - 1
+            self.extrinsics = [np.asarray(e, np.float32) for e in config.extrinsics]
+            self.calib_status = 2
+        elif n == 1:
+            self.extrinsics = []
+            self.calib_status = 2
+        else:
+            self.extrinsics = [None] * (n - 1)
+            self.calib_status = 0
+        if n > 1 and self.calib_status == 0:
+            sub_cfg = TrackerConfig(
+                window=config.tracker_window,
+                edge_capacity=f.edge_capacity,
+                surf_capacity=f.surf_capacity,
+                map_update_trans=config.map_update_trans,
+                map_update_rot=config.map_update_rot,
+                map_update_dt=config.map_update_dt,
+                registration=config.registration,
+            )
+            self._sub_config = sub_cfg
+            self._sub_trackers = [tracker_init(sub_cfg) for _ in range(n - 1)]
+            self._handeye = [handeye_init(config.handeye) for _ in range(n - 1)]
+            # motion anchors: (primary_pose, sub_pose) at the last sampled pair
+            self._anchors = [None] * (n - 1)
+            self._refine_ok = [0] * (n - 1)
+            self._refine_samples = [[] for _ in range(n - 1)]
 
     # -- per-frame pipeline ---------------------------------------------------
 
@@ -172,14 +248,109 @@ class MultiLidarSystem:
         )
         return feats.edge, feats.surf
 
-    def process(self, scan: PointBatch, timestamp: float) -> FrameResult:
-        """One frame: featurize → track → keyframe gate → backend."""
-        edge, surf = self.featurize(scan)
+    def _pad_to_fused(self, edge: PointBatch, surf: PointBatch):
+        """Pad single-lidar features to the fused tracker capacity."""
+        n = self.config.n_lidars
+        if n == 1:
+            return edge, surf
+        f = self.config.feature
+        return (
+            pb_concat([edge], capacity=n * f.edge_capacity),
+            pb_concat([surf], capacity=n * f.surf_capacity),
+        )
+
+    def _calibration_step(self, feats, pose_p: np.ndarray, timestamp: float):
+        """Phases 0/1 of the extrinsic FSM (runs AFTER the primary tracker
+        step so ``pose_p`` is the current-frame primary pose — sub scans and
+        the primary pose must be time-aligned for hand-eye increments)."""
+        cfg = self.config
+        for i, (se_, ss_) in enumerate(feats[1:]):
+            if self.calib_status == 0:
+                # phase 0: independent sub odometry + hand-eye accumulation
+                self._sub_trackers[i], sub_out = tracker_step(
+                    self._sub_trackers[i], se_, ss_, jnp.float32(timestamp),
+                    self._sub_config,
+                )
+                pose_s = np.asarray(sub_out.pose)
+                if self._anchors[i] is None:
+                    self._anchors[i] = (pose_p, pose_s)
+                else:
+                    ap, asub = self._anchors[i]
+                    inc_p = se3.pose_between(jnp.asarray(ap), jnp.asarray(pose_p))
+                    inc_s = se3.pose_between(jnp.asarray(asub), jnp.asarray(pose_s))
+                    ang = float(jnp.linalg.norm(se3.so3_log(se3.pose_quat(inc_p))))
+                    if ang > cfg.handeye.min_rot_angle:
+                        self._handeye[i] = handeye_add_pair(
+                            self._handeye[i], inc_p, inc_s, cfg.handeye
+                        )
+                        self._anchors[i] = (pose_p, pose_s)
+                        res = handeye_solve(self._handeye[i], cfg.handeye)
+                        if bool(res.ok):
+                            self.extrinsics[i] = np.asarray(res.extrinsic)
+            elif self.calib_status == 1 and self._refine_ok[i] < cfg.calib_refine_frames:
+                # phase 1: refine X against the primary local map
+                # (ML_System.hpp:284-322 sub-to-primary-localmap phase).
+                # Single-frame refinements scatter by centimeters–decimeters
+                # (scan-dependent minima), so the extrinsic is the running
+                # average of accepted refinements, not the last one.
+                init = se3.pose_compose(
+                    jnp.asarray(pose_p), jnp.asarray(self.extrinsics[i])
+                )
+                reg = register_edge_surf(
+                    se_, ss_, self.tracker_state.edge_flat,
+                    self.tracker_state.surf_flat, init,
+                    cfg.calib_refine_registration,
+                )
+                if bool(reg.converged) and int(reg.n_constrained) == 6:
+                    x_new = np.asarray(
+                        se3.pose_between(jnp.asarray(pose_p), reg.pose)
+                    )
+                    self._refine_samples[i].append(x_new)
+                    self.extrinsics[i] = _average_poses(self._refine_samples[i])
+                    self._refine_ok[i] += 1
+        if self.calib_status == 0 and all(e is not None for e in self.extrinsics):
+            self.calib_status = 1
+        if self.calib_status == 1 and all(
+            k >= cfg.calib_refine_frames for k in self._refine_ok
+        ):
+            self.calib_status = 2
+
+    def process(self, scan, timestamp: float) -> FrameResult:
+        """One frame: featurize → (calibrate) → track → keyframe gate → backend.
+
+        ``scan``: a PointBatch, or a list of PointBatches (one per lidar,
+        index 0 = primary) for multi-lidar systems.
+        """
+        scans = scan if isinstance(scan, (list, tuple)) else [scan]
+        assert len(scans) == self.config.n_lidars, (
+            f"expected {self.config.n_lidars} scans, got {len(scans)}"
+        )
+        feats = [self.featurize(s) for s in scans]
+
+        if self.calib_status == 2 and len(feats) > 1:
+            # fused multi-lidar frame: sub features → primary sensor frame
+            edges = [feats[0][0]]
+            surfs = [feats[0][1]]
+            for i, (se_, ss_) in enumerate(feats[1:]):
+                x = jnp.asarray(self.extrinsics[i])
+                edges.append(se_.transform(x))
+                surfs.append(ss_.transform(x))
+            f = self.config.feature
+            n = self.config.n_lidars
+            edge = pb_concat(edges, capacity=n * f.edge_capacity)
+            surf = pb_concat(surfs, capacity=n * f.surf_capacity)
+        else:
+            # calibration phases track the primary alone
+            edge, surf = self._pad_to_fused(*feats[0])
+
         self.tracker_state, out = tracker_step(
             self.tracker_state, edge, surf, jnp.float32(timestamp),
             self.tracker_config,
         )
         odom_pose = np.asarray(out.pose)
+
+        if self.calib_status < 2:
+            self._calibration_step(feats, odom_pose, timestamp)
 
         backend_out: Optional[BackendOutput] = None
         is_kf = self.gate.need_update(odom_pose, timestamp)
@@ -206,6 +377,7 @@ class MultiLidarSystem:
             loop_closed=bool(backend_out.loop_closed) if backend_out else False,
             converged=bool(out.registration.converged),
             num_matches=int(out.registration.num_matches),
+            calib_status=self.calib_status,
         )
         self.results.append(result)
         return result
