@@ -23,3 +23,6 @@ __all__ = [
     "LifelongConfig",
     "WorkMode",
 ]
+from .async_backend import AsyncBackend
+
+__all__.append("AsyncBackend")

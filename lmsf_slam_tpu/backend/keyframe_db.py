@@ -49,6 +49,13 @@ def _grow(arr: np.ndarray, new_cap: int) -> np.ndarray:
     return out
 
 
+# bulky per-keyframe payloads live on disk when a storage_dir is given —
+# the reference keeps keyframe clouds out of RAM the same way (one PCD per
+# keyframe per feature, `pose_graph_database.hpp:307-315`); poses/edges/
+# ring-keys stay in RAM as the searchable mirrors.
+_DISK_FIELDS = ("edge_xyz", "edge_mask", "surf_xyz", "surf_mask", "sc")
+
+
 class KeyframeDatabase:
     """Append-only keyframe + pose-graph store with save/load.
 
@@ -63,26 +70,56 @@ class KeyframeDatabase:
         initial_keyframes: int = 256,
         sc_rings: int = scancontext.RINGS,
         sc_sectors: int = scancontext.SECTORS,
+        storage_dir: str | None = None,
     ):
+        """``storage_dir``: if given, bulky per-keyframe payloads (feature
+        clouds, descriptors) are disk-backed memmaps under this directory —
+        RAM stays bounded for lifelong sessions and checkpointing is
+        incremental (memmap flush + a small npz of the graph)."""
         self.edge_capacity = edge_capacity
         self.surf_capacity = surf_capacity
         self.sc_shape = (sc_rings, sc_sectors)
+        self.storage_dir = storage_dir
+        if storage_dir is not None:
+            os.makedirs(storage_dir, exist_ok=True)
         n = initial_keyframes
         self.n_keyframes = 0
         self.stamps = np.zeros(n, np.float64)
         self.odom_poses = np.zeros((n, 7), np.float32)
         self.map_poses = np.zeros((n, 7), np.float32)
-        self.edge_xyz = np.zeros((n, edge_capacity, 3), np.float32)
-        self.edge_mask = np.zeros((n, edge_capacity), bool)
-        self.surf_xyz = np.zeros((n, surf_capacity, 3), np.float32)
-        self.surf_mask = np.zeros((n, surf_capacity), bool)
-        self.sc = np.zeros((n,) + self.sc_shape, np.float32)
+        self.edge_xyz = self._alloc("edge_xyz", (n, edge_capacity, 3), np.float32)
+        self.edge_mask = self._alloc("edge_mask", (n, edge_capacity), bool)
+        self.surf_xyz = self._alloc("surf_xyz", (n, surf_capacity, 3), np.float32)
+        self.surf_mask = self._alloc("surf_mask", (n, surf_capacity), bool)
+        self.sc = self._alloc("sc", (n,) + self.sc_shape, np.float32)
         self.ring_keys = np.zeros((n, sc_rings), np.float32)
         # graph edges
         self.n_edges = 0
         self.eij = np.zeros((n, 2), np.int32)
         self.ez = np.zeros((n, 7), np.float32)
         self.esqrtw = np.zeros((n, 6), np.float32)
+
+    def _alloc(self, name: str, shape, dtype):
+        if self.storage_dir is None or name not in _DISK_FIELDS:
+            return np.zeros(shape, dtype)
+        path = os.path.join(self.storage_dir, name + ".dat")
+        return np.memmap(path, dtype=dtype, mode="w+", shape=shape)
+
+    def _grow_field(self, name: str, new_cap: int):
+        arr = getattr(self, name)
+        if isinstance(arr, np.memmap):
+            # appending rows to a row-major memmap = extending the file
+            path = arr.filename
+            dtype = arr.dtype
+            shape = (new_cap,) + arr.shape[1:]
+            arr.flush()
+            del arr
+            nbytes = int(np.prod(shape)) * dtype.itemsize
+            with open(path, "r+b") as f:
+                f.truncate(nbytes)
+            setattr(self, name, np.memmap(path, dtype=dtype, mode="r+", shape=shape))
+        else:
+            setattr(self, name, _grow(arr, new_cap))
 
     # -- insertion ----------------------------------------------------------
 
@@ -102,7 +139,7 @@ class KeyframeDatabase:
             "sc",
             "ring_keys",
         ):
-            setattr(self, name, _grow(getattr(self, name), new))
+            self._grow_field(name, new)
 
     def _ensure_edge_capacity(self, need: int):
         cap = self.eij.shape[0]
@@ -265,53 +302,101 @@ class KeyframeDatabase:
 
     # -- persistence (the lifelong checkpoint) -------------------------------
 
+    def _field_spec(self, name):
+        ec, sc_ = self.edge_capacity, self.surf_capacity
+        return {
+            "edge_xyz": ((ec, 3), np.float32),
+            "edge_mask": ((ec,), np.bool_),
+            "surf_xyz": ((sc_, 3), np.float32),
+            "surf_mask": ((sc_,), np.bool_),
+            "sc": (self.sc_shape, np.float32),
+        }[name]
+
     def save(self, path: str):
-        """One-file checkpoint of the whole lifelong database
-        (reference: text vertices/edges + pose PCDs + per-KF PCDs +
-        descriptor text DB, `pose_graph_database.hpp:40-59`)."""
+        """Checkpoint of the whole lifelong database (reference: text
+        vertices/edges + pose PCDs + per-KF PCDs + descriptor text DB,
+        `pose_graph_database.hpp:40-59`).
+
+        RAM mode: one self-contained npz. Disk mode (``storage_dir``):
+        INCREMENTAL — memmaps are flushed in place and the npz carries only
+        the small graph arrays, so checkpoint cost is independent of the
+        number of stored clouds."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         n, e = self.n_keyframes, self.n_edges
-        np.savez_compressed(
-            path,
-            version=1,
+        small = dict(
+            version=2,
             stamps=self.stamps[:n],
             odom_poses=self.odom_poses[:n],
             map_poses=self.map_poses[:n],
-            edge_xyz=self.edge_xyz[:n],
-            edge_mask=self.edge_mask[:n],
-            surf_xyz=self.surf_xyz[:n],
-            surf_mask=self.surf_mask[:n],
-            sc=self.sc[:n],
             ring_keys=self.ring_keys[:n],
             eij=self.eij[:e],
             ez=self.ez[:e],
             esqrtw=self.esqrtw[:e],
+            edge_capacity=self.edge_capacity,
+            surf_capacity=self.surf_capacity,
+            sc_shape=np.asarray(self.sc_shape),
         )
+        if self.storage_dir is not None:
+            for name in _DISK_FIELDS:
+                getattr(self, name).flush()
+            np.savez_compressed(path, storage="memmap", **small)
+        else:
+            np.savez_compressed(
+                path,
+                storage="ram",
+                edge_xyz=self.edge_xyz[:n],
+                edge_mask=self.edge_mask[:n],
+                surf_xyz=self.surf_xyz[:n],
+                surf_mask=self.surf_mask[:n],
+                sc=self.sc[:n],
+                **small,
+            )
 
     @classmethod
-    def load(cls, path: str) -> "KeyframeDatabase":
+    def load(cls, path: str, storage_dir: str | None = None) -> "KeyframeDatabase":
         z = np.load(path)
+        storage = str(z["storage"]) if "storage" in z else "ram"
         n = z["stamps"].shape[0]
         e = z["eij"].shape[0]
-        db = cls(
-            edge_capacity=z["edge_xyz"].shape[1],
-            surf_capacity=z["surf_xyz"].shape[1],
-            initial_keyframes=max(n, 1),
-            sc_rings=z["sc"].shape[1],
-            sc_sectors=z["sc"].shape[2],
-        )
+        if storage == "memmap":
+            if storage_dir is None:
+                raise ValueError(
+                    "this checkpoint is disk-backed: pass storage_dir="
+                    "<directory with the .dat payload files>"
+                )
+            sc_shape = tuple(int(x) for x in z["sc_shape"])
+            db = cls(
+                edge_capacity=int(z["edge_capacity"]),
+                surf_capacity=int(z["surf_capacity"]),
+                initial_keyframes=max(n, 1),
+                sc_rings=sc_shape[0],
+                sc_sectors=sc_shape[1],
+            )
+            db.storage_dir = storage_dir
+            for name in _DISK_FIELDS:
+                row_shape, dtype = db._field_spec(name)
+                fpath = os.path.join(storage_dir, name + ".dat")
+                row_bytes = int(np.prod(row_shape)) * np.dtype(dtype).itemsize
+                cap = os.path.getsize(fpath) // row_bytes
+                if cap < n:
+                    raise ValueError(f"{fpath} holds {cap} rows < {n} keyframes")
+                setattr(
+                    db,
+                    name,
+                    np.memmap(fpath, dtype=dtype, mode="r+", shape=(cap,) + row_shape),
+                )
+        else:
+            db = cls(
+                edge_capacity=z["edge_xyz"].shape[1],
+                surf_capacity=z["surf_xyz"].shape[1],
+                initial_keyframes=max(n, 1),
+                sc_rings=z["sc"].shape[1],
+                sc_sectors=z["sc"].shape[2],
+            )
+            for name in _DISK_FIELDS:
+                getattr(db, name)[:n] = z[name]
         db.n_keyframes = n
-        for name in (
-            "stamps",
-            "odom_poses",
-            "map_poses",
-            "edge_xyz",
-            "edge_mask",
-            "surf_xyz",
-            "surf_mask",
-            "sc",
-            "ring_keys",
-        ):
+        for name in ("stamps", "odom_poses", "map_poses", "ring_keys"):
             getattr(db, name)[:n] = z[name]
         db._ensure_edge_capacity(max(e, 1))
         db.n_edges = e

@@ -164,3 +164,66 @@ def simulate_scan(
     pts = jnp.where(ok[:, None], t[:, None] * d_local, 0.0)
     rel_time = jnp.tile((jnp.arange(width) + 0.5) / width, rings)[:, None]
     return PointBatch(pts.astype(jnp.float32), ok, rel_time.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("rings", "width"))
+def simulate_scan_moving(
+    world: SimWorld,
+    pose_start: jax.Array,
+    pose_end: jax.Array,
+    key,
+    rings: int = 16,
+    width: int = 900,
+    elev_min: float = -0.26,
+    elev_max: float = 0.26,
+    max_range: float = 50.0,
+    min_range: float = 1.0,
+    noise: float = 0.01,
+) -> PointBatch:
+    """Motion-blurred scan: each azimuth column is cast from the sensor pose
+    interpolated at its sweep time (constant-twist between ``pose_start`` and
+    ``pose_end``), and the measured point is expressed in THAT pose's frame —
+    exactly the distortion a spinning lidar on a moving platform produces,
+    which deskew must undo. Returns the points as measured (start-to-end
+    sweep, rel-time attr in [0,1))."""
+    elev = jnp.linspace(elev_min, elev_max, rings)
+    az = -jnp.pi + (jnp.arange(width) + 0.5) * (2 * jnp.pi / width)
+    rel = (jnp.arange(width) + 0.5) / width  # (W,)
+    xi = se3.pose_log(se3.pose_between(pose_start, pose_end))  # (6,)
+    col_poses = jax.vmap(
+        lambda s: se3.pose_compose(pose_start, se3.se3_exp(s * xi))
+    )(rel)  # (W,7)
+
+    ce, se_ = jnp.cos(elev), jnp.sin(elev)
+    ca, sa = jnp.cos(az), jnp.sin(az)
+    d_local = jnp.stack(
+        [
+            ce[:, None] * ca[None, :],
+            ce[:, None] * sa[None, :],
+            jnp.broadcast_to(se_[:, None], (rings, width)),
+        ],
+        axis=-1,
+    )  # (R,W,3)
+
+    Rm = se3.quat_to_matrix(col_poses[:, :4])  # (W,3,3)
+    origins = col_poses[:, 4:]  # (W,3)
+    d_world = jnp.einsum("wij,rwj->rwi", Rm, d_local)
+
+    def cast(o, d):
+        t = _ray_ground(o, d, world.ground_z)
+        t = jnp.minimum(t, _ray_boxes(o, d, world.boxes_min, world.boxes_max))
+        t = jnp.minimum(t, _ray_cylinders(o, d, world.cylinders))
+        return t
+
+    t = jax.vmap(
+        jax.vmap(cast, in_axes=(None, 0)), in_axes=(0, 0)
+    )(origins, d_world.transpose(1, 0, 2)).T  # (R,W)
+    t = t + noise * jax.random.normal(key, t.shape)
+    ok = (t > min_range) & (t < max_range)
+    pts = jnp.where(ok[..., None], t[..., None] * d_local, 0.0)
+    rel_attr = jnp.broadcast_to(rel[None, :], (rings, width))
+    return PointBatch(
+        pts.reshape(-1, 3).astype(jnp.float32),
+        ok.reshape(-1),
+        rel_attr.reshape(-1, 1).astype(jnp.float32),
+    )

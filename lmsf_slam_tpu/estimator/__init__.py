@@ -1,0 +1,10 @@
+from .eskf import (
+    EskfConfig,
+    EskfState,
+    eskf_init_state,
+    eskf_predict,
+    eskf_run,
+    eskf_update_position,
+    static_initialize,
+)
+from .gnss import EnuFrame, lla_to_ecef, lla_to_enu, make_enu_frame

@@ -32,6 +32,7 @@ class ScanGrid(NamedTuple):
     rng: jax.Array  # (R, W) range (m)
     mask: jax.Array  # (R, W) bool
     flat_idx: jax.Array  # (R, W) int32 index into the source PointBatch
+    attr: jax.Array  # (R, W, A) per-point attributes (rel-time, intensity…)
 
 
 @partial(jax.jit, static_argnames=("rings", "width"))
@@ -86,7 +87,8 @@ def organize_scan(
     g_xyz = xyz[cell_idx].reshape(rings, width, 3)
     g_rng = jnp.where(occupied, best_rng, 0.0).reshape(rings, width)
     g_mask = occupied.reshape(rings, width)
-    return ScanGrid(g_xyz, g_rng, g_mask, cell_idx.reshape(rings, width))
+    g_attr = pb.attr[cell_idx].reshape(rings, width, pb.attr.shape[-1])
+    return ScanGrid(g_xyz, g_rng, g_mask, cell_idx.reshape(rings, width), g_attr)
 
 
 def _shift(x, s, axis=-1):
@@ -198,8 +200,13 @@ def extract_loam_features(
 
     def gather(cols, vals, rings_idx):
         pts = grid.xyz[rings_idx, cols]  # (R,S,K,3)
+        att = grid.attr[rings_idx, cols]  # (R,S,K,A)
         m = vals > neg_inf / 2
-        return PointBatch(pts.reshape(-1, 3), m.reshape(-1))
+        n_rows = att.shape[0] * att.shape[1] * att.shape[2]
+        return PointBatch(
+            pts.reshape(-1, 3), m.reshape(-1),
+            att.reshape(n_rows, att.shape[-1]),  # explicit: A may be 0
+        )
 
     edge = gather(e_col, e_val, jnp.broadcast_to(ring, e_col.shape))
     surf = gather(s_col, s_val, jnp.broadcast_to(ring, s_col.shape))

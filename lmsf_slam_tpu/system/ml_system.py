@@ -85,6 +85,9 @@ class SystemConfig(NamedTuple):
     # known extrinsics (list of (7,) poses of lidar i in lidar-0 frame) skip
     # calibration entirely; None → calibrate online
     extrinsics: Optional[tuple] = None
+    # run the backend (loop detection + optimization) on a worker thread so
+    # the frontend never stalls (reference thread pipeline, §2.9)
+    async_backend: bool = False
     # tracker (capacities derived from ``feature``)
     tracker_window: int = 20
     registration: RegistrationParams = RegistrationParams()
@@ -196,6 +199,11 @@ class MultiLidarSystem:
             self.backend = LifelongBackend(
                 db=db, config=config.lifelong, loop_config=config.loop
             )
+        self._async = None
+        if config.async_backend:
+            from ..backend.async_backend import AsyncBackend
+
+            self._async = AsyncBackend(self.backend)
         self.gate = KeyframeGate(
             config.keyframe_trans, config.keyframe_rot, config.keyframe_dt
         )
@@ -355,23 +363,32 @@ class MultiLidarSystem:
         backend_out: Optional[BackendOutput] = None
         is_kf = self.gate.need_update(odom_pose, timestamp)
         if is_kf:
-            backend_out = self.backend.add_keyframe(
-                timestamp, edge, surf, odom_pose
-            )
+            if self._async is not None:
+                # enqueue only: corrections arrive via the published odom2map
+                odom2map, mode = self._async.submit(
+                    timestamp, edge, surf, odom_pose
+                )
+            else:
+                backend_out = self.backend.add_keyframe(
+                    timestamp, edge, surf, odom_pose
+                )
+
+        if self._async is not None:
+            odom2map, mode = self._async.odom2map, self._async.mode
+        else:
+            odom2map, mode = self.backend.odom2map, self.backend.mode
 
         if backend_out is not None and backend_out.keyframe_id >= 0:
             map_pose = np.asarray(backend_out.map_pose)
         else:
             map_pose = np.asarray(
-                se3.pose_compose(
-                    jnp.asarray(self.backend.odom2map), jnp.asarray(odom_pose)
-                )
+                se3.pose_compose(jnp.asarray(odom2map), jnp.asarray(odom_pose))
             )
         result = FrameResult(
             timestamp=float(timestamp),
             odom_pose=odom_pose,
             map_pose=map_pose,
-            mode=self.backend.mode,
+            mode=mode,
             is_keyframe=is_kf,
             keyframe_id=(backend_out.keyframe_id if backend_out else -1),
             loop_closed=bool(backend_out.loop_closed) if backend_out else False,
@@ -410,11 +427,19 @@ class MultiLidarSystem:
         return pts
 
     def force_global_optimize(self):
+        if self._async is not None:
+            return self._async.force_global_optimize()
         return self.backend.force_global_optimize()
+
+    def flush(self):
+        """Drain the async backend (no-op for the sync backend)."""
+        if self._async is not None:
+            self._async.flush()
 
     # -- persistence (reference SavePoseGraph / SystemLoad) --------------------
 
     def save(self, path: str):
+        self.flush()
         self.backend.save(path)
 
     @classmethod

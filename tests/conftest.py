@@ -19,3 +19,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: runs on the real TPU chip (skipped when absent)"
+    )

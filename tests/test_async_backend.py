@@ -1,0 +1,83 @@
+"""Async backend: the frontend never blocks on optimization; a loop closes
+while mapping continues (reference thread/queue semantics,
+`backend_lifelong.hpp:211,390`, `loopDetection.hpp:193-200`)."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmsf_slam_tpu.backend import LifelongBackend, LifelongConfig, WorkMode
+from lmsf_slam_tpu.backend.async_backend import AsyncBackend
+from lmsf_slam_tpu.common import se3
+from lmsf_slam_tpu.datasets import make_trajectory, make_world, scan_at
+
+KEY = jax.random.PRNGKey(7)
+N = 36
+
+
+def _loop_cfg():
+    from lmsf_slam_tpu.backend import LoopConfig
+
+    return LoopConfig(
+        min_frame_interval=20, exclude_recent=20, detect_spacing=1,
+        search_radius=6.0, adjacent_window=3,
+        refine_score_thresh=0.3, reloc_score_thresh=0.3,
+    )
+
+
+def test_async_matches_sync_and_closes_loop():
+    world = make_world(KEY, extent=25.0, n_pillars=50, n_ground=5000,
+                       n_wall=2500)
+    traj = make_trajectory(N, radius=10.0, loop=True)
+    drift = se3.se3_exp(jnp.asarray([0, 0, 0.002, 0.01, 0.004, 0.0], jnp.float32))
+
+    def scans_and_odom():
+        pose_odom = traj[0]
+        for i in range(N):
+            if i > 0:
+                inc = se3.pose_between(traj[i - 1], traj[i])
+                pose_odom = se3.pose_compose(pose_odom, se3.pose_compose(inc, drift))
+            edge, surf = scan_at(world, traj[i], jax.random.fold_in(KEY, i),
+                                 n_edge=256, n_surf=1024, noise=0.01,
+                                 max_range=12.0)
+            yield i * 0.1, edge, surf, np.asarray(pose_odom)
+
+    backend = AsyncBackend(
+        LifelongBackend(config=LifelongConfig(optimize_batch=100),
+                        loop_config=_loop_cfg())
+    )
+    submit_times = []
+    for stamp, edge, surf, odom in scans_and_odom():
+        t0 = time.perf_counter()
+        backend.submit(stamp, edge, surf, odom)
+        submit_times.append(time.perf_counter() - t0)
+    backend.flush()
+
+    # the worker closed a loop (same data as the sync lifelong test)
+    eij = backend.db.eij[: backend.db.n_edges]
+    loop_edges = eij[np.abs(eij[:, 1] - eij[:, 0]) > 1]
+    assert len(loop_edges) > 0
+    assert backend.mode is WorkMode.LOCALIZATION
+    assert len(backend.outputs()) == N
+    # submits are enqueue-only: median far below a backend cycle (which
+    # includes jitted loop detection + optimization, tens of ms on CPU)
+    assert float(np.median(submit_times)) < 0.05
+    backend.close()
+
+
+def test_async_flush_and_save(tmp_path):
+    world = make_world(KEY, extent=25.0, n_pillars=30, n_ground=3000,
+                       n_wall=1500)
+    traj = make_trajectory(10, radius=8.0, loop=False)
+    backend = AsyncBackend(LifelongBackend(loop_config=_loop_cfg()))
+    for i in range(10):
+        edge, surf = scan_at(world, traj[i], jax.random.fold_in(KEY, 100 + i),
+                             n_edge=128, n_surf=512, noise=0.01, max_range=12.0)
+        backend.submit(0.1 * i, edge, surf, np.asarray(traj[i]))
+    path = str(tmp_path / "async.npz")
+    backend.save(path)  # implies flush
+    assert backend.db.n_keyframes == 10
+    loaded = LifelongBackend.load(path)
+    assert loaded.db.n_keyframes == 10
+    backend.close()
