@@ -57,6 +57,12 @@ class LifelongConfig(NamedTuple):
     map_update_overlap_lo: float = 0.5
     map_update_overlap_hi: float = 0.9
     optimize_batch: int = 10  # max KFs per optimization cycle (:50)
+    # windowed re-solve policy (the TPU answer to iSAM2 incremental
+    # optimization, SURVEY §7.3): between loop closures only the newest
+    # ``optimize_window`` vertices are free (older ones act as a fixed
+    # boundary / prior), so per-keyframe cost is flat in graph size; a loop
+    # closure triggers a FULL solve. 0 disables (always full).
+    optimize_window: int = 0
     localization_params: RegistrationParams = RegistrationParams(
         max_iters=8, max_corr_dist=2.0
     )
@@ -220,7 +226,7 @@ class LifelongBackend:
             self.db.add_edge(loop.from_id, loop.to_id, loop.z, loop.noise)
 
         if loop_closed or self._pending >= cfg.optimize_batch:
-            self.optimize()
+            self.optimize(full=loop_closed)
             self._pending = 0
             map_pose = self.db.map_poses[kf_id].copy()
             self._set_odom2map(map_pose, odom_pose)
@@ -251,14 +257,23 @@ class LifelongBackend:
             return self._do_localization(stamp, edge, surf, odom_pose)
         return self._do_mapping(stamp, edge, surf, odom_pose)
 
-    def optimize(self):
-        """Batch GN over the whole graph; write poses back
-        (`mapping()`/`optimize()` `:390-431,541-575`)."""
+    def optimize(self, full: bool = True):
+        """Batch GN; write poses back (`mapping()`/`optimize()`
+        `:390-431,541-575`). With ``optimize_window`` set and ``full=False``
+        only the newest window of vertices is free (warm-started windowed
+        re-solve); loop closures call with ``full=True``."""
         if self.db.n_edges == 0 or self.db.n_keyframes < 2:
             return None
         g = self.db.graph_arrays()
+        fixed = None
+        w = self.config.optimize_window
+        if not full and w > 0 and self.db.n_keyframes > w + 1:
+            fixed_np = np.zeros(g.poses.shape[0], bool)
+            fixed_np[: self.db.n_keyframes - w] = True
+            fixed = jnp.asarray(fixed_np)
         poses, stats = optimize_pose_graph(
             g.poses, g.vmask, g.edges_ij, g.edges_z, g.edges_sqrtw, g.emask,
+            fixed=fixed,
             params=self.config.pose_graph,
         )
         self.db.update_poses(np.asarray(poses))

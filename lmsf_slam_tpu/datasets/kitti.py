@@ -28,8 +28,13 @@ KITTI_SCAN_CAPACITY = 131072  # 2^17 ≥ any HDL-64 scan (~120k returns)
 def read_velodyne_bin(
     path: str, capacity: int = KITTI_SCAN_CAPACITY
 ) -> PointBatch:
-    """One KITTI velodyne scan → padded PointBatch (intensity as attr)."""
-    raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    """One KITTI velodyne scan → padded PointBatch (intensity as attr).
+
+    Uses the native C++ reader when built (lmsf_slam_tpu.native), falling
+    back to numpy."""
+    from ..native import read_f32
+
+    raw = read_f32(path).reshape(-1, 4)
     return PointBatch.from_points(raw[:, :3], capacity, attr=raw[:, 3:4])
 
 
