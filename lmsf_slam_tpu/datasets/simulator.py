@@ -89,6 +89,8 @@ def _ray_ground(o, d, ground_z):
 
 def _ray_boxes(o, d, bmin, bmax):
     """Min positive t over all boxes (slab test), or _BIG."""
+    if bmin.shape[0] == 0:  # static shape: empty worlds short-circuit
+        return _BIG
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
     t1 = (bmin - o) * inv  # (B,3)
     t2 = (bmax - o) * inv
@@ -100,6 +102,8 @@ def _ray_boxes(o, d, bmin, bmax):
 
 def _ray_cylinders(o, d, cyl):
     """Min positive t over all vertical cylinders, or _BIG."""
+    if cyl.shape[0] == 0:  # static shape: empty worlds short-circuit
+        return _BIG
     cx, cy, r, h = cyl[:, 0], cyl[:, 1], cyl[:, 2], cyl[:, 3]
     ox, oy = o[0] - cx, o[1] - cy
     a = d[0] * d[0] + d[1] * d[1]

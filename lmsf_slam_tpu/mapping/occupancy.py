@@ -1,0 +1,108 @@
+"""2D occupancy grid mapping (log-odds, inverse sensor model).
+
+Capability parity with the reference's grid-map module
+(`inc/grid_map/2d_grid_map.hpp` — log-odds cells + inverse sensor model;
+README TODO #3 "synchronized 2D occupancy grid"; the reference's
+implementation files are missing from its snapshot, so this completes the
+declared feature).
+
+TPU-first: a scan update is one fused program — every ray is sampled at K
+evenly spaced points (free space) plus its endpoint (occupied), cells are
+deduplicated per scan with scatter-max masks, and the log-odds update is a
+single pair of scatter-adds. No Bresenham loops; the grid lives on device.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import se3
+from ..common.pointcloud import PointBatch
+
+
+class OccupancyConfig(NamedTuple):
+    size: int = 512  # cells per side (square grid, centered at origin)
+    resolution: float = 0.1  # m / cell
+    l_occ: float = 0.85  # log-odds increment for a hit
+    l_free: float = -0.4  # log-odds increment for traversed free space
+    l_min: float = -4.0
+    l_max: float = 4.0
+    samples_per_ray: int = 96  # free-space samples along each ray
+    z_low: float = 0.1  # points in this z band (map frame) mark obstacles
+    z_high: float = 2.0
+
+
+def occupancy_init(config: OccupancyConfig = OccupancyConfig()) -> jax.Array:
+    return jnp.zeros((config.size, config.size), jnp.float32)
+
+
+def _cell_of(xy, config):
+    c = jnp.floor(xy / config.resolution).astype(jnp.int32) + config.size // 2
+    inb = jnp.all((c >= 0) & (c < config.size), axis=-1)
+    c = jnp.clip(c, 0, config.size - 1)
+    return c, inb
+
+
+@partial(jax.jit, static_argnames=("config",))
+def occupancy_update(
+    grid: jax.Array,
+    origin_xy: jax.Array,  # (2,) sensor position in map frame
+    points_xy: jax.Array,  # (N,2) hit endpoints in map frame
+    mask: jax.Array,  # (N,)
+    config: OccupancyConfig = OccupancyConfig(),
+) -> jax.Array:
+    """One scan's log-odds update: free along rays, occupied at endpoints.
+
+    Cells are updated AT MOST ONCE per scan per class (scatter-max dedup),
+    matching standard occupancy mapping; occupied beats free for cells
+    claimed by both (endpoint cells grazed by neighboring rays).
+    """
+    S = config.size
+    K = config.samples_per_ray
+    # free-space samples strictly inside the ray (exclude the endpoint cell)
+    t = (jnp.arange(K, dtype=jnp.float32) + 0.5) / (K + 1)
+    pts = origin_xy[None, None, :] + t[None, :, None] * (
+        points_xy[:, None, :] - origin_xy[None, None, :]
+    )  # (N,K,2)
+    free_c, free_in = _cell_of(pts.reshape(-1, 2), config)
+    free_valid = free_in & jnp.repeat(mask, K)
+    free_mark = jnp.zeros((S, S), jnp.float32).at[
+        free_c[:, 0], free_c[:, 1]
+    ].max(free_valid.astype(jnp.float32))
+
+    occ_c, occ_in = _cell_of(points_xy, config)
+    occ_valid = occ_in & mask
+    occ_mark = jnp.zeros((S, S), jnp.float32).at[
+        occ_c[:, 0], occ_c[:, 1]
+    ].max(occ_valid.astype(jnp.float32))
+
+    free_mark = free_mark * (1.0 - occ_mark)  # occupied wins
+    grid = grid + config.l_occ * occ_mark + config.l_free * free_mark
+    return jnp.clip(grid, config.l_min, config.l_max)
+
+
+def occupancy_probability(grid: jax.Array) -> jax.Array:
+    """Log-odds → occupancy probability."""
+    return jax.nn.sigmoid(grid)
+
+
+def occupancy_from_database(db, config: OccupancyConfig = OccupancyConfig()):
+    """Build the synchronized 2D grid from every keyframe in the lifelong
+    database at its CURRENT optimized pose (so loop corrections propagate
+    into the grid — the reference's intended 'synchronized' behavior)."""
+    grid = occupancy_init(config)
+    for i in range(db.n_keyframes):
+        pose = jnp.asarray(db.map_poses[i])
+        edge, surf = db.keyframe_clouds(i)
+        pts = jnp.concatenate([edge.xyz, surf.xyz])
+        m = jnp.concatenate([edge.mask, surf.mask])
+        w = se3.pose_apply(pose, pts)
+        band = (w[:, 2] > config.z_low) & (w[:, 2] < config.z_high)
+        grid = occupancy_update(
+            grid, se3.pose_trans(pose)[:2], w[:, :2], m & band, config
+        )
+    return grid

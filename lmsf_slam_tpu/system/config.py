@@ -1,0 +1,70 @@
+"""YAML config factory: assemble a SystemConfig from a file.
+
+Capability parity with the reference's two-tier config system — algorithm
+YAML read through cv::FileStorage (`inc/Common/read_param.hpp:37-48`) and
+factory classes that assemble the pipeline from config strings
+(`inc/factory/System/ML_SystemFactory.hpp:54-205`: working mode,
+registration method, NDT/preprocess parameters). Here the factory maps a
+nested YAML document onto the typed NamedTuple config tree: every key must
+name a real field (typos fail loudly instead of silently using defaults),
+and values are coerced to the field's default type.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import yaml
+
+from .ml_system import FeatureParams, SystemConfig
+
+
+def _merge(default: Any, override: dict, path: str = ""):
+    """Recursively overlay a dict onto a NamedTuple, type-coercing leaves."""
+    if not isinstance(override, dict):
+        raise TypeError(f"{path or 'config'}: expected a mapping")
+    fields = default._fields
+    updates = {}
+    for key, val in override.items():
+        if key not in fields:
+            raise KeyError(
+                f"unknown config key {path + key!r}; valid: {sorted(fields)}"
+            )
+        cur = getattr(default, key)
+        if hasattr(cur, "_fields") and isinstance(val, dict):
+            updates[key] = _merge(cur, val, path + key + ".")
+        elif isinstance(cur, bool):
+            updates[key] = bool(val)
+        elif isinstance(cur, int) and not isinstance(val, bool):
+            updates[key] = int(val)
+        elif isinstance(cur, float):
+            # degrees convenience: "<field>_deg" handled by callers; here
+            # plain float coercion
+            updates[key] = float(val)
+        else:
+            updates[key] = val
+    return default._replace(**updates)
+
+
+def system_config_from_dict(doc: dict) -> SystemConfig:
+    doc = dict(doc or {})
+    # convenience: rotation thresholds may be given in degrees
+    for deg_key, rad_key in (
+        ("keyframe_rot_deg", "keyframe_rot"),
+        ("map_update_rot_deg", "map_update_rot"),
+    ):
+        if deg_key in doc:
+            doc[rad_key] = math.radians(float(doc.pop(deg_key)))
+    return _merge(SystemConfig(), doc)
+
+
+def system_config_from_yaml(path: str) -> SystemConfig:
+    """Load a SystemConfig from a YAML file (reference factory entry:
+    `ML_SystemFactory` built from a YAML path, `MultiLidarSLAM_node.cpp:71`)."""
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    return system_config_from_dict(doc)
+
+
+__all__ = ["system_config_from_dict", "system_config_from_yaml",
+           "FeatureParams", "SystemConfig"]

@@ -88,6 +88,11 @@ class SystemConfig(NamedTuple):
     # run the backend (loop detection + optimization) on a worker thread so
     # the frontend never stalls (reference thread pipeline, §2.9)
     async_backend: bool = False
+    # IMU-aided mode (the LIG system the reference stubs,
+    # `LIG_System.hpp:173-182`): ESKF-propagated prediction + sweep deskew;
+    # ``process`` then accepts per-frame IMU windows, and GNSS fixes fuse
+    # into the filter via ``process_gnss``
+    use_imu: bool = False
     # tracker (capacities derived from ``feature``)
     tracker_window: int = 20
     registration: RegistrationParams = RegistrationParams()
@@ -204,6 +209,15 @@ class MultiLidarSystem:
             from ..backend.async_backend import AsyncBackend
 
             self._async = AsyncBackend(self.backend)
+
+        # IMU-aided front end (LIG capability; single-lidar only for now)
+        self._lio = None
+        self._enu = None
+        if config.use_imu:
+            assert n == 1, "use_imu currently supports a single lidar"
+            from ..lio import LioConfig, LioTracker
+
+            self._lio = LioTracker(LioConfig(tracker=self.tracker_config))
         self.gate = KeyframeGate(
             config.keyframe_trans, config.keyframe_rot, config.keyframe_dt
         )
@@ -323,11 +337,34 @@ class MultiLidarSystem:
         ):
             self.calib_status = 2
 
-    def process(self, scan, timestamp: float) -> FrameResult:
+    def process_gnss(self, lla: np.ndarray, pos_std: float = 0.1):
+        """Fuse a GNSS fix into the IMU filter (requires ``use_imu``). The
+        first fix anchors the local ENU frame; note the ENU frame coincides
+        with the odometry frame only up to the initial pose — production use
+        pairs this with a yaw alignment (future GNSS-graph constraint)."""
+        assert self._lio is not None, "process_gnss requires use_imu=True"
+        from ..estimator import eskf_update_position
+        from ..estimator.gnss import lla_to_enu, make_enu_frame
+
+        if self._enu is None:
+            self._enu = make_enu_frame(np.asarray(lla, np.float64))
+        pos = lla_to_enu(self._enu, lla)
+        self._lio.eskf = eskf_update_position(
+            self._lio.eskf, jnp.asarray(pos), jnp.float32(pos_std)
+        )
+
+    def process(
+        self, scan, timestamp: float,
+        gyro: Optional[np.ndarray] = None,
+        acc: Optional[np.ndarray] = None,
+        imu_dts: Optional[np.ndarray] = None,
+    ) -> FrameResult:
         """One frame: featurize → (calibrate) → track → keyframe gate → backend.
 
         ``scan``: a PointBatch, or a list of PointBatches (one per lidar,
-        index 0 = primary) for multi-lidar systems.
+        index 0 = primary) for multi-lidar systems. With ``use_imu``, pass
+        the IMU window since the previous frame (gyro/acc (M,3), dts (M,))
+        for ESKF prediction + sweep deskew.
         """
         scans = scan if isinstance(scan, (list, tuple)) else [scan]
         assert len(scans) == self.config.n_lidars, (
@@ -351,11 +388,17 @@ class MultiLidarSystem:
             # calibration phases track the primary alone
             edge, surf = self._pad_to_fused(*feats[0])
 
-        self.tracker_state, out = tracker_step(
-            self.tracker_state, edge, surf, jnp.float32(timestamp),
-            self.tracker_config,
-        )
-        odom_pose = np.asarray(out.pose)
+        if self._lio is not None:
+            odom_pose, out = self._lio.process_scan(
+                edge, surf, timestamp, gyro=gyro, acc=acc, imu_dts=imu_dts
+            )
+            self.tracker_state = self._lio.tracker_state
+        else:
+            self.tracker_state, out = tracker_step(
+                self.tracker_state, edge, surf, jnp.float32(timestamp),
+                self.tracker_config,
+            )
+            odom_pose = np.asarray(out.pose)
 
         if self.calib_status < 2:
             self._calibration_step(feats, odom_pose, timestamp)

@@ -20,6 +20,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
 
+# persistent compilation cache: the 2-vCPU host makes XLA:CPU compilation the
+# dominant suite cost; caching compiled executables across runs cuts repeat
+# suite time several-fold (cache dir is gitignored)
+_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def pytest_configure(config):
     config.addinivalue_line(

@@ -190,3 +190,50 @@ def test_imu_aided_beats_lidar_only(skewed_scans):
     # IMU aid + deskew must beat lidar-only measurably on aggressive motion
     assert m_lio < 0.6 * m_lidar, (m_lio, m_lidar)
     assert m_lio < 0.25, errs_lio
+
+
+def test_system_with_imu(skewed_scans):
+    """The System's use_imu mode (the LIG capability the reference stubs):
+    IMU windows flow through process(); tracking stays tight on the
+    aggressive sequence; a GNSS fix updates the filter without breaking."""
+    from lmsf_slam_tpu.backend import LoopConfig
+    from lmsf_slam_tpu.estimator import eskf_init_state
+    from lmsf_slam_tpu.system import FeatureParams, MultiLidarSystem, SystemConfig
+
+    world, poses, imu, scans = skewed_scans
+    n = len(scans)
+    gt = np.stack([poses[i + 1] for i in range(n)])
+    gt_rel = np.asarray(se3.pose_between(jnp.asarray(gt[0]), jnp.asarray(gt)))
+
+    cfg = SystemConfig(
+        feature=FeatureParams(rings=16, width=360, edges_per_sector=4,
+                              surfs_per_sector=12),
+        tracker_window=8,
+        registration=RegistrationParams(max_iters=8, max_corr_dist=2.0),
+        map_update_trans=0.15,
+        keyframe_trans=0.5,
+        use_imu=True,
+        loop=LoopConfig(min_frame_interval=10**9),
+    )
+    system = MultiLidarSystem(cfg)
+    # anchor velocity in the tracker frame (see test_imu_aided_beats_lidar_only)
+    _, v1, _, _, _ = analytic_state(1 / SCAN_HZ)
+    system._lio.eskf = eskf_init_state()._replace(
+        v=se3.quat_rotate(se3.quat_conj(jnp.asarray(gt[0][:4])),
+                          jnp.asarray(v1, jnp.float32))
+    )
+    errs = []
+    for i in range(n):
+        gy, ac, dts = imu[i]
+        r = system.process(
+            scans[i], i / SCAN_HZ,
+            gyro=gy if i > 0 else None, acc=ac if i > 0 else None,
+            imu_dts=dts if i > 0 else None,
+        )
+        err = se3.pose_between(jnp.asarray(gt_rel[i]), jnp.asarray(r.odom_pose))
+        errs.append(float(jnp.linalg.norm(se3.pose_trans(err))))
+    assert max(errs[2:]) < 0.25, errs
+    assert system.backend.db.n_keyframes > 3
+    # GNSS fix at the current position (ENU anchor = first fix) doesn't break
+    system.process_gnss(np.array([48.0, 11.0, 500.0]))
+    assert np.isfinite(np.asarray(system._lio.eskf.p)).all()

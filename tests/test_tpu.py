@@ -53,25 +53,29 @@ def test_approx_max_k_recall_on_chip(chip_scan):
     measure the ACTUAL recall of the k-NN the registration consumes."""
     feats = chip_scan
     with jax.default_device(TPU):
-        q = feats.surf.xyz + 0.05  # small offset: realistic near-queries
-        d_tpu, i_tpu = neighbors.knn(q, feats.surf.mask, feats.surf.xyz,
+        # 512 queries suffice for a recall estimate (and keep the on-chip
+        # compile of this shape cheap)
+        q = feats.surf.xyz[:512] + 0.05  # small offset: realistic near-queries
+        qmask = feats.surf.mask[:512]
+        d_tpu, i_tpu = neighbors.knn(q, qmask, feats.surf.xyz,
                                      feats.surf.mask, k=5)
         d_tpu, i_tpu = np.asarray(d_tpu), np.asarray(i_tpu)
-    # exact reference on host
+    # exact reference on host (vectorized: membership via broadcast compare)
     qn = np.asarray(q)
     rn = np.asarray(feats.surf.xyz)
+    qvalid = np.asarray(qmask)
     mask = np.asarray(feats.surf.mask)
-    d2 = ((qn[:, None, :] - rn[None, :, :]) ** 2).sum(-1)
+    d2 = ((qn[:, None, :] - rn[None, :, :]) ** 2).sum(-1, dtype=np.float64)
     d2[:, ~mask] = np.inf
-    exact = np.argsort(d2, axis=1)[:, :5]
-    valid_q = mask
-    hit = np.zeros(qn.shape[0])
-    top1 = np.zeros(qn.shape[0], bool)
-    for i in range(qn.shape[0]):
-        hit[i] = len(set(exact[i]) & set(i_tpu[i])) / 5.0
-        top1[i] = exact[i, 0] in set(i_tpu[i])
-    assert hit[valid_q].mean() > 0.95, hit[valid_q].mean()
-    assert top1[valid_q].mean() > 0.99, top1[valid_q].mean()
+    exact = np.argpartition(d2, 5, axis=1)[:, :5]
+    found = (exact[:, :, None] == i_tpu[:, None, :]).any(-1)  # (Q,5)
+    hit = found.mean(axis=1)
+    # top-1 = the true nearest neighbor, wherever argpartition put it
+    order = np.take_along_axis(d2, exact, axis=1).argmin(axis=1)
+    nn1 = exact[np.arange(len(exact)), order]
+    top1 = (nn1[:, None] == i_tpu).any(-1)
+    assert hit[qvalid].mean() > 0.95, hit[qvalid].mean()
+    assert top1[qvalid].mean() > 0.99, top1[qvalid].mean()
 
 
 def test_registration_accuracy_on_chip(chip_scan):
