@@ -252,16 +252,22 @@ def register_edge_surf(
         iters = iters + jnp.where(done, 0, 1)
         return (pose, done | small, iters, n_con, P, corr), (nmatch, cost)
 
+    # carried initializers derive from the CLOUD inputs (not fresh constants
+    # or the init pose) so that under shard_map they inherit the sharded
+    # inputs' varying axes — a replicated constant meeting a sharded value
+    # in a cond branch or scan carry is a type error (scan-vma rules)
     corr0 = (
-        jnp.zeros((Ne, 3)), jnp.zeros(Ne), jnp.zeros(Ne, bool),
-        jnp.zeros((Ns, 3)), jnp.zeros(Ns), jnp.zeros(Ns, bool),
+        src_edge.xyz * 0.0, src_edge.xyz[:, 0] * 0.0, src_edge.mask & False,
+        src_surf.xyz * 0.0, src_surf.xyz[:, 0] * 0.0, src_surf.mask & False,
     )
+    zero = 0.0 * (src_edge.xyz[0, 0] + src_surf.xyz[0, 0]) + 0.0 * map_surf.xyz[0, 0]
+    izero = zero.astype(jnp.int32)
     init = (
-        init_pose,
-        jnp.array(False),
-        jnp.array(0, jnp.int32),
-        jnp.array(0, jnp.int32),
-        jnp.eye(6),
+        init_pose + zero,
+        zero > 1.0,  # False, varying
+        izero,
+        izero,
+        jnp.eye(6) + zero,
         corr0,
     )
     (pose, done, iters, n_con, _, _), (nmatches, costs) = jax.lax.scan(
@@ -388,12 +394,15 @@ def register_ndt(
         iters = iters + jnp.where(done, 0, 1)
         return (pose, done | small, iters, n_con_prev, P), (nmatch, cost)
 
+    # varying-safe initializers (see register_edge_surf)
+    zero = 0.0 * (src.xyz[0, 0] + gaussians["means"][0, 0])
+    izero = zero.astype(jnp.int32)
     init = (
-        init_pose,
-        jnp.array(False),
-        jnp.array(0, jnp.int32),
-        jnp.array(0, jnp.int32),
-        jnp.eye(6),
+        init_pose + zero,
+        zero > 1.0,
+        izero,
+        izero,
+        jnp.eye(6) + zero,
     )
     (pose, done, iters, n_con, _), (nm, costs) = jax.lax.scan(
         step, init, jnp.arange(params.max_iters), length=params.max_iters

@@ -70,6 +70,14 @@ class SystemConfig(NamedTuple):
     n_lidars: int = 1
     feature: FeatureParams = FeatureParams()
     preprocess: PreprocessParams = PreprocessParams()
+    # front-end matching method (reference factory string,
+    # `ML_SystemFactory.hpp:151-191`): "feature_based" = LOAM edge+surf GN;
+    # "sparse_point_plane_icp" = voxel-downsampled whole cloud as planar
+    # points, no edge classification (the registration core treats empty
+    # edges as pure point-to-plane ICP). NDT remains a registration-level
+    # option (`ops.registration.register_ndt`).
+    registration_method: str = "feature_based"
+    icp_voxel_size: float = 0.4  # scan downsample for the ICP method
     # multi-lidar online extrinsic calibration (ML_System.hpp:239-323):
     # phase 0 = per-lidar odometry + hand-eye init; phase 1 = refinement of
     # each sub extrinsic against the primary local map; phase 2 = fused
@@ -258,6 +266,13 @@ class MultiLidarSystem:
         """Raw scan → (edge, surf) feature PointBatches (sensor frame)."""
         cfg = self.config.feature
         processed = preprocess(scan, self.config.preprocess)
+        if self.config.registration_method == "sparse_point_plane_icp":
+            from ..ops.voxel import voxel_downsample
+
+            surf = voxel_downsample(
+                processed, self.config.icp_voxel_size, cfg.surf_capacity
+            )
+            return PointBatch.empty(cfg.edge_capacity), surf
         grid = F.organize_scan(processed, rings=cfg.rings, width=cfg.width)
         feats = F.extract_loam_features(
             grid,

@@ -1,0 +1,60 @@
+"""Sequence-sharded offline mapping: parallel chunk tracking + boundary
+stitching matches sequential single-device tracking."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmsf_slam_tpu.common import se3
+from lmsf_slam_tpu.datasets import make_sim_world, make_trajectory, simulate_scan
+from lmsf_slam_tpu.evaluation import ate_stats
+from lmsf_slam_tpu.ops import features as F
+from lmsf_slam_tpu.ops.registration import RegistrationParams
+from lmsf_slam_tpu.parallel import make_mesh
+from lmsf_slam_tpu.parallel.offline_mapping import offline_map_sequence
+from lmsf_slam_tpu.tracker import TrackerConfig
+
+KEY = jax.random.PRNGKey(44)
+N_FRAMES = 32
+
+
+def test_offline_sharded_mapping_matches_gt():
+    # geometry-rich world: chunk cold starts (single-scan map, no velocity
+    # history) need fully-constrained scan-to-scan registration; in
+    # self-similar worlds one would pass init_motions (IMU priors) instead
+    world = make_sim_world(KEY, extent=18.0, n_boxes=18, n_cylinders=40,
+                           clear_radius=3.0)
+    traj = np.array(make_trajectory(N_FRAMES, radius=7.0, loop=False))
+    traj[:, 6] = 1.3
+    traj = jnp.asarray(traj)
+
+    edges, surfs = [], []
+    for i in range(N_FRAMES):
+        pb = simulate_scan(world, traj[i], jax.random.fold_in(KEY, i),
+                           rings=16, width=360, max_range=40.0, noise=0.01)
+        grid = F.organize_scan(pb, rings=16, width=360)
+        f = F.extract_loam_features(grid, edges_per_sector=6,
+                                    surfs_per_sector=12)
+        edges.append(f.edge)
+        surfs.append(f.surf)
+    edge = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *edges)
+    surf = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *surfs)
+
+    mesh = make_mesh(4, axis="data")
+    config = TrackerConfig(
+        window=8, edge_capacity=edge.xyz.shape[1],
+        surf_capacity=surf.xyz.shape[1], map_update_trans=0.15,
+        registration=RegistrationParams(max_iters=8, max_corr_dist=2.0),
+    )
+    res = offline_map_sequence(
+        mesh, edge, surf, jnp.arange(N_FRAMES) * 0.1, config
+    )
+    assert res.poses.shape == (N_FRAMES, 7)
+    # `converged` = early-stop; a stitch at max_iters can still be accurate
+    # (covered by the ATE assertion below) — require most to early-stop
+    assert res.stitch_converged.sum() >= res.stitch_converged.size - 1
+    # stitched global trajectory tracks ground truth (relative to frame 0)
+    gt_rel = np.asarray(se3.pose_between(traj[0], traj))
+    s = ate_stats(res.poses, gt_rel, align=True)
+    assert s.rmse < 0.25, s
+    # chunk-local trajectories each start at identity
+    np.testing.assert_allclose(res.chunk_poses[:, 0, 4:], 0.0, atol=1e-5)

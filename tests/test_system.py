@@ -93,3 +93,24 @@ def test_system_global_map(sim):
     # ground points sit near z≈-1.2 in the map frame (sensor height)
     ground = pts[np.abs(pts[:, 2] + 1.2) < 0.15]
     assert ground.shape[0] > 10
+
+
+def test_system_sparse_point_plane_icp(sim):
+    """The factory's second method: whole-cloud point-to-plane ICP (no LOAM
+    classification) tracks the same world (`ML_SystemFactory.hpp:151-191`)."""
+    world, traj = sim
+    system = MultiLidarSystem(
+        small_config(registration_method="sparse_point_plane_icp",
+                     icp_voxel_size=0.5)
+    )
+    n = 20
+    for i in range(n):
+        scan = simulate_scan(
+            world, traj[i], jax.random.fold_in(KEY, i), rings=16, width=360,
+            max_range=40.0, noise=0.01,
+        )
+        system.process(scan, 0.1 * i)
+    est = system.trajectory()
+    gt_rel = np.asarray(se3.pose_between(traj[0], traj[:n]))
+    s = ate_stats(est, gt_rel, align=True)
+    assert s.rmse < 0.25, s
