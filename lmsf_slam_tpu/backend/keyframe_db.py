@@ -93,6 +93,10 @@ class KeyframeDatabase:
         self.surf_mask = self._alloc("surf_mask", (n, surf_capacity), bool)
         self.sc = self._alloc("sc", (n,) + self.sc_shape, np.float32)
         self.ring_keys = np.zeros((n, sc_rings), np.float32)
+        # optional per-keyframe GNSS observation (map/ENU frame), the
+        # reference KeyFrame's optional GNSS slot (`keyframe.hpp:25-101`)
+        self.gnss_pos = np.zeros((n, 3), np.float32)
+        self.gnss_valid = np.zeros(n, bool)
         # graph edges
         self.n_edges = 0
         self.eij = np.zeros((n, 2), np.int32)
@@ -138,6 +142,8 @@ class KeyframeDatabase:
             "surf_mask",
             "sc",
             "ring_keys",
+            "gnss_pos",
+            "gnss_valid",
         ):
             self._grow_field(name, new)
 
@@ -158,6 +164,7 @@ class KeyframeDatabase:
         edge_pb: PointBatch,
         surf_pb: PointBatch,
         sc=None,
+        gnss_pos=None,
     ) -> int:
         """Store a keyframe (clouds in sensor frame). Returns its id.
 
@@ -192,6 +199,9 @@ class KeyframeDatabase:
             )
         self.sc[i] = np.asarray(sc, np.float32)
         self.ring_keys[i] = np.asarray(scancontext.ring_key(jnp.asarray(sc)))
+        if gnss_pos is not None:
+            self.gnss_pos[i] = np.asarray(gnss_pos, np.float32)
+            self.gnss_valid[i] = True
         self.n_keyframes = i + 1
         return i
 
@@ -332,6 +342,8 @@ class KeyframeDatabase:
             eij=self.eij[:e],
             ez=self.ez[:e],
             esqrtw=self.esqrtw[:e],
+            gnss_pos=self.gnss_pos[:n],
+            gnss_valid=self.gnss_valid[:n],
             edge_capacity=self.edge_capacity,
             surf_capacity=self.surf_capacity,
             sc_shape=np.asarray(self.sc_shape),
@@ -398,6 +410,9 @@ class KeyframeDatabase:
         db.n_keyframes = n
         for name in ("stamps", "odom_poses", "map_poses", "ring_keys"):
             getattr(db, name)[:n] = z[name]
+        if "gnss_pos" in z:
+            db.gnss_pos[:n] = z["gnss_pos"]
+            db.gnss_valid[:n] = z["gnss_valid"]
         db._ensure_edge_capacity(max(e, 1))
         db.n_edges = e
         db.eij[:e] = z["eij"]

@@ -75,6 +75,11 @@ class LifelongConfig(NamedTuple):
     # odometry between-edge noise σ² [rot×3, trans×3] (:456-475)
     odom_noise_rot: float = 1e-4
     odom_noise_trans: float = 0.0025
+    # GNSS absolute-position prior noise σ (m); keyframes carrying a GNSS
+    # observation become unary anchors in the graph solve (the reference's
+    # GNSS pairing, commented out at `backend_lifelong.hpp:477-510`, and the
+    # g2o prior-xyz edge — here actually active)
+    gnss_std: float = 0.1
 
 
 class BackendOutput(NamedTuple):
@@ -206,10 +211,12 @@ class LifelongBackend:
             score, overlap,
         )
 
-    def _do_mapping(self, stamp, edge, surf, odom_pose) -> BackendOutput:
+    def _do_mapping(self, stamp, edge, surf, odom_pose, gnss_pos=None) -> BackendOutput:
         cfg = self.config
         map_pose = self._map_pose(odom_pose)
-        kf_id = self.db.add_keyframe(stamp, odom_pose, map_pose, edge, surf)
+        kf_id = self.db.add_keyframe(
+            stamp, odom_pose, map_pose, edge, surf, gnss_pos=gnss_pos
+        )
         if kf_id > 0:
             z = se3.pose_between(
                 jnp.asarray(self.db.map_poses[kf_id - 1]), jnp.asarray(map_pose)
@@ -241,8 +248,11 @@ class LifelongBackend:
     # -- public API -------------------------------------------------------------
 
     def add_keyframe(
-        self, stamp: float, edge: PointBatch, surf: PointBatch, odom_pose
+        self, stamp: float, edge: PointBatch, surf: PointBatch, odom_pose,
+        gnss_pos=None,
     ) -> BackendOutput:
+        """``gnss_pos``: optional (3,) absolute position observation (map/ENU
+        frame) attached to this keyframe as a graph prior."""
         if stamp < self.last_stamp:
             # timestamp disorder guard (:131-139): drop the keyframe
             return BackendOutput(
@@ -255,7 +265,7 @@ class LifelongBackend:
             return self._do_relocalization(stamp, edge, surf, odom_pose)
         if self.mode is WorkMode.LOCALIZATION:
             return self._do_localization(stamp, edge, surf, odom_pose)
-        return self._do_mapping(stamp, edge, surf, odom_pose)
+        return self._do_mapping(stamp, edge, surf, odom_pose, gnss_pos=gnss_pos)
 
     def optimize(self, full: bool = True):
         """Batch GN; write poses back (`mapping()`/`optimize()`
@@ -271,10 +281,27 @@ class LifelongBackend:
             fixed_np = np.zeros(g.poses.shape[0], bool)
             fixed_np[: self.db.n_keyframes - w] = True
             fixed = jnp.asarray(fixed_np)
+        priors = {}
+        gnss_ids = np.nonzero(self.db.gnss_valid[: self.db.n_keyframes])[0]
+        if gnss_ids.size > 0:
+            K = 1 << (int(gnss_ids.size) - 1).bit_length()
+            pidx = np.zeros(K, np.int32)
+            pxyz = np.zeros((K, 3), np.float32)
+            pmask = np.zeros(K, bool)
+            pidx[: gnss_ids.size] = gnss_ids
+            pxyz[: gnss_ids.size] = self.db.gnss_pos[gnss_ids]
+            pmask[: gnss_ids.size] = True
+            priors = dict(
+                prior_xyz=jnp.asarray(pxyz),
+                prior_idx=jnp.asarray(pidx),
+                prior_sqrtw=jnp.full((K, 3), 1.0 / self.config.gnss_std),
+                prior_mask=jnp.asarray(pmask),
+            )
         poses, stats = optimize_pose_graph(
             g.poses, g.vmask, g.edges_ij, g.edges_z, g.edges_sqrtw, g.emask,
             fixed=fixed,
             params=self.config.pose_graph,
+            **priors,
         )
         self.db.update_poses(np.asarray(poses))
         return stats

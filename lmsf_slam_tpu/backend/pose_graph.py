@@ -90,19 +90,44 @@ def optimize_pose_graph(
     edges_sqrtw: jax.Array,  # (E, 6) per-dim sqrt information (1/σ)
     emask: jax.Array,  # (E,) bool — edge exists
     fixed: jax.Array | None = None,  # (V,) bool — gauge-fixed vertices
+    prior_xyz: jax.Array | None = None,  # (K,3) absolute position priors
+    prior_idx: jax.Array | None = None,  # (K,) vertex ids
+    prior_sqrtw: jax.Array | None = None,  # (K,3)
+    prior_mask: jax.Array | None = None,  # (K,)
     params: PoseGraphParams = PoseGraphParams(),
 ):
-    """Batch GN/LM solve. Returns (optimized_poses, PoseGraphStats)."""
+    """Batch GN/LM solve. Returns (optimized_poses, PoseGraphStats).
+
+    ``prior_*``: optional absolute-position unary factors — the reference's
+    `AddSe3PriorXYZEdge` (GNSS constraints, `graph_optimization.hpp:19-47`,
+    g2o edge `inc/g2o/edge_se3_priorxyz.hpp`). With priors the graph is
+    globally anchored, so pass ``fixed`` of all-False to let every vertex
+    move (the default still gauge-fixes vertex 0 for odometry-only graphs).
+    """
     V = poses.shape[0]
     if fixed is None:
         fixed = jnp.zeros(V, bool).at[0].set(True)
+    has_priors = prior_xyz is not None
+    if not has_priors:
+        prior_xyz = jnp.zeros((1, 3))
+        prior_idx = jnp.zeros(1, jnp.int32)
+        prior_sqrtw = jnp.zeros((1, 3))
+        prior_mask = jnp.zeros(1, bool)
     free = vmask & ~fixed
     i_idx = edges_ij[:, 0]
     j_idx = edges_ij[:, 1]
 
+    def prior_res_jac(pose, z, sqrtw):
+        def h(x):
+            return (se3.pose_retract(pose, x)[4:] - z) * sqrtw
+
+        return h(jnp.zeros(6)), jax.jacfwd(h)(jnp.zeros(6))  # (3,), (3,6)
+
     def chi2_of(p):
         r = jax.vmap(edge_residual)(p[i_idx], p[j_idx], edges_z) * edges_sqrtw
-        return jnp.sum(jnp.where(emask, jnp.sum(r * r, -1), 0.0))
+        c = jnp.sum(jnp.where(emask, jnp.sum(r * r, -1), 0.0))
+        rp, _ = jax.vmap(prior_res_jac)(p[prior_idx], prior_xyz, prior_sqrtw)
+        return c + jnp.sum(jnp.where(prior_mask, jnp.sum(rp * rp, -1), 0.0))
 
     def gn_step(carry, _):
         p, done, iters = carry
@@ -114,6 +139,13 @@ def optimize_pose_graph(
         r2 = jnp.sum(r * r, axis=-1)
         w = _robust_weight(r2, params.kernel, params.kernel_delta) * emask  # (E,)
 
+        # unary position-prior linearization
+        rp, Jp = jax.vmap(prior_res_jac)(
+            p[prior_idx], prior_xyz, prior_sqrtw
+        )
+        Jp = Jp * prior_mask[:, None, None]
+        rp = rp * prior_mask[:, None]
+
         def matvec(x):  # x: (V, 6)
             y = jnp.einsum("eab,eb->ea", Ji, x[i_idx]) + jnp.einsum(
                 "eab,eb->ea", Jj, x[j_idx]
@@ -124,6 +156,10 @@ def optimize_pose_graph(
             out = jax.ops.segment_sum(gi, i_idx, num_segments=V) + jax.ops.segment_sum(
                 gj, j_idx, num_segments=V
             )
+            yp = jnp.einsum("kab,kb->ka", Jp, x[prior_idx])
+            out = out + jax.ops.segment_sum(
+                jnp.einsum("kab,ka->kb", Jp, yp), prior_idx, num_segments=V
+            )
             out = out + params.damping * x
             return jnp.where(free[:, None], out, 0.0)
 
@@ -132,6 +168,9 @@ def optimize_pose_graph(
         g = jax.ops.segment_sum(
             jnp.einsum("eab,ea->eb", Ji, wr), i_idx, num_segments=V
         ) + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", Jj, wr), j_idx, num_segments=V)
+        g = g + jax.ops.segment_sum(
+            jnp.einsum("kab,ka->kb", Jp, rp), prior_idx, num_segments=V
+        )
         g = jnp.where(free[:, None], g, 0.0)
 
         # block-Jacobi preconditioner: per-vertex 6×6 diagonal blocks of H
@@ -139,6 +178,9 @@ def optimize_pose_graph(
         Bj = jnp.einsum("eab,eac,e->ebc", Jj, Jj, w)
         M = jax.ops.segment_sum(Bi, i_idx, num_segments=V) + jax.ops.segment_sum(
             Bj, j_idx, num_segments=V
+        )
+        M = M + jax.ops.segment_sum(
+            jnp.einsum("kab,kac->kbc", Jp, Jp), prior_idx, num_segments=V
         )
         M = M + (params.damping + 1e-6) * jnp.eye(6)
         Minv = jnp.linalg.inv(M)

@@ -183,3 +183,35 @@ def test_timestamp_disorder_dropped(mapped_backend):
     out = backend.add_keyframe(-1.0, pb, pb, np.asarray(se3.pose_identity()))
     assert out.keyframe_id == -1
     assert backend.db.n_keyframes == n_before
+
+
+def test_gnss_anchored_mapping(world):
+    """Keyframes carrying GNSS observations anchor the graph absolutely:
+    drifted odometry is pulled onto the surveyed positions at optimize()."""
+    from lmsf_slam_tpu.backend import LifelongBackend, LifelongConfig, LoopConfig
+
+    traj = make_trajectory(14, radius=8.0, loop=False)
+    backend = LifelongBackend(
+        config=LifelongConfig(optimize_batch=10**9, gnss_std=0.05,
+                              pose_graph=__import__("lmsf_slam_tpu.backend.pose_graph",
+                                                    fromlist=["PoseGraphParams"]
+                                                    ).PoseGraphParams(gn_iters=20, kernel="none")),
+        loop_config=LoopConfig(min_frame_interval=10**9),
+    )
+    drift = se3.se3_exp(jnp.asarray([0, 0, 0.004, 0.03, 0.01, 0.0], jnp.float32))
+    pose_odom = traj[0]
+    gt = np.asarray(traj)
+    for i in range(14):
+        if i > 0:
+            inc = se3.pose_between(traj[i - 1], traj[i])
+            pose_odom = se3.pose_compose(pose_odom, se3.pose_compose(inc, drift))
+        edge, surf = _scan(world, traj[i], 500 + i)
+        backend.add_keyframe(
+            0.1 * i, edge, surf, np.asarray(pose_odom),
+            gnss_pos=gt[i, 4:] if i % 3 == 0 else None,  # fix every 3rd KF
+        )
+    err_before = np.linalg.norm(backend.db.map_poses[13, 4:] - gt[13, 4:])
+    backend.force_global_optimize()
+    err_after = np.linalg.norm(backend.db.map_poses[13, 4:] - gt[13, 4:])
+    assert err_after < 0.1, (err_before, err_after)
+    assert err_after < 0.5 * err_before

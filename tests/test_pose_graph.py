@@ -94,3 +94,36 @@ def test_pose_graph_robust_to_outlier_edge():
     opt, _ = optimize_pose_graph(poses, vmask, ij, z, sw, emask)
     # Huber keeps the outlier from destroying the solution
     assert _ate(opt, gt, n) < 0.6
+
+
+def test_gnss_position_priors_anchor_graph():
+    """Absolute position priors (the reference's AddSe3PriorXYZEdge / GNSS
+    constraints) pull a drifted chain onto the surveyed positions with NO
+    gauge-fixed vertex."""
+    import numpy as np
+
+    V = 12
+    step = se3.se3_exp(jnp.asarray([0, 0, 0.1, 1.0, 0, 0], jnp.float32))
+    gt = [se3.pose_identity()]
+    for _ in range(V - 1):
+        gt.append(se3.pose_compose(gt[-1], step))
+    gt = jnp.stack(gt)
+    eij = jnp.asarray([(i, i + 1) for i in range(V - 1)], jnp.int32)
+    ez = jax.vmap(lambda i, j: se3.pose_between(gt[i], gt[j]))(eij[:, 0], eij[:, 1])
+    # start from a globally shifted + yawed initialization
+    off = se3.se3_exp(jnp.asarray([0, 0, 0.4, 5.0, -3.0, 1.0], jnp.float32))
+    init = jax.vmap(lambda p: se3.pose_compose(off, p))(gt)
+    # GNSS fixes at 4 vertices
+    pid = jnp.asarray([0, 4, 8, 11], jnp.int32)
+    pxyz = gt[pid, 4:]
+    poses, stats = optimize_pose_graph(
+        init, jnp.ones(V, bool), eij, ez, jnp.ones((V - 1, 6)) * 20.0,
+        jnp.ones(V - 1, bool),
+        fixed=jnp.zeros(V, bool),  # priors anchor the gauge
+        prior_xyz=pxyz, prior_idx=pid,
+        prior_sqrtw=jnp.ones((4, 3)) * 10.0, prior_mask=jnp.ones(4, bool),
+        params=PoseGraphParams(gn_iters=20, kernel="none"),
+    )
+    err = np.linalg.norm(np.asarray(poses)[:, 4:] - np.asarray(gt)[:, 4:], axis=1)
+    assert err.max() < 0.05, err
+    assert float(stats.chi2_final) < 1e-3
