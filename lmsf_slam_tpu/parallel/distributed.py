@@ -39,18 +39,39 @@ from ..ops.registration import RegistrationParams, register_edge_surf
 
 
 def make_mesh(
-    n_devices: int | None = None, axis: str = "graph", backend: str | None = None
+    n_devices: int | None = None,
+    axis: str = "graph",
+    backend: str | None = None,
+    allow_cpu_fallback: bool = True,
 ) -> Mesh:
     """1-D device mesh over the first ``n_devices`` local devices.
 
-    Falls back to the virtual CPU backend when the default backend has too
-    few devices (the single-chip dev box) — this is how the multi-chip path
-    is exercised without a pod slice (SURVEY.md §4 test strategy).
+    When the default backend has too few devices (the single-chip dev box)
+    and ``allow_cpu_fallback`` is True, the mesh is built on the virtual CPU
+    backend instead — how the multi-chip path is exercised without a pod
+    slice (SURVEY.md §4 test strategy). The fallback is LOUD (a warning
+    names the substituted backend) because a CPU mesh silently standing in
+    for TPUs is a production-performance footgun; pass
+    ``allow_cpu_fallback=False`` (or an explicit ``backend``) to make it a
+    hard error instead.
     """
     devs = jax.devices(backend) if backend else jax.devices()
     if n_devices is None:
         n_devices = len(devs)
     if len(devs) < n_devices and backend is None:
+        if not allow_cpu_fallback:
+            raise ValueError(
+                f"need {n_devices} {devs[0].platform} devices, have "
+                f"{len(devs)} (CPU fallback disabled)"
+            )
+        import warnings
+
+        warnings.warn(
+            f"make_mesh: only {len(devs)} {devs[0].platform} device(s) "
+            f"available; building the {n_devices}-device mesh on the virtual "
+            "CPU backend — fine for tests, wrong for production perf",
+            stacklevel=2,
+        )
         devs = jax.devices("cpu")
     if len(devs) < n_devices:
         raise ValueError(f"need {n_devices} devices, have {len(devs)}")

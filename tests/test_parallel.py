@@ -72,3 +72,22 @@ def test_sharded_pads_uneven_edges():
     )
     assert np.isfinite(np.asarray(out)).all()
     assert float(stats.chi2_final) <= float(stats.chi2_initial) + 1e-6
+
+
+def test_make_mesh_fallback_is_loud():
+    """CPU fallback warns (perf footgun); disabled fallback raises."""
+    import warnings
+
+    import pytest
+
+    from lmsf_slam_tpu.parallel import make_mesh
+
+    n = len(jax.devices("cpu")) + len(jax.devices())
+    # requesting more than the default backend has → loud fallback or error
+    if len(jax.devices()) < len(jax.devices("cpu")):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            make_mesh(len(jax.devices("cpu")), axis="data")
+            assert any("CPU backend" in str(x.message) for x in w)
+    with pytest.raises(ValueError):
+        make_mesh(n + 1, axis="data")
