@@ -1,0 +1,73 @@
+"""Dynamic-object filtering: free-space carving + unsupported-point gating.
+
+The reference's README TODO #4 ("dynamic-object filtering") has no
+implementation in its snapshot; this completes the declared feature with the
+standard visibility reasoning (removert-style), TPU-shaped:
+
+- :func:`carve_dynamic` — a MAP point is dynamic if the current scan's beam
+  through its (ring, azimuth) cell measured a LONGER range: the beam passed
+  through where the point used to be, so the point has moved away. One
+  fused program: project map points into the scan's range image
+  (scatter-free gather of the measured range per map point), compare.
+- :func:`unsupported_mask` — a SCAN point entering an already-mapped region
+  with no map support within ``dist_thresh`` is a candidate mover (used to
+  keep transient objects out of the map until they persist).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..common import se3
+from ..common.pointcloud import PointBatch
+from . import neighbors
+from .features import ScanGrid
+
+
+@partial(jax.jit, static_argnames=())
+def carve_dynamic(
+    grid: ScanGrid,
+    map_pb: PointBatch,
+    sensor_pose: jax.Array,  # (7,) pose of the scan's sensor (map frame)
+    elev_min: float = -0.26,
+    elev_max: float = 0.26,
+    margin: float = 0.3,  # m: beam must overshoot the point by this much
+    min_range: float = 1.0,
+) -> jax.Array:
+    """(M,) keep-mask over ``map_pb``: False = contradicted by free space."""
+    R, W = grid.rng.shape
+    # map points in the sensor frame
+    local = se3.pose_apply(se3.pose_inverse(sensor_pose), map_pb.xyz)
+    rng = jnp.linalg.norm(local, axis=-1)
+    horiz = jnp.linalg.norm(local[:, :2], axis=-1)
+    elev = jnp.arctan2(local[:, 2], jnp.maximum(horiz, 1e-6))
+    az = jnp.arctan2(local[:, 1], local[:, 0])
+    ring = jnp.round((elev - elev_min) / (elev_max - elev_min) * (R - 1))
+    col = jnp.floor((az + jnp.pi) / (2 * jnp.pi) * W)
+    in_fov = (
+        (ring >= 0) & (ring <= R - 1) & (rng > min_range)
+        & map_pb.mask
+    )
+    ring_i = jnp.clip(ring, 0, R - 1).astype(jnp.int32)
+    col_i = jnp.clip(col, 0, W - 1).astype(jnp.int32)
+    measured = grid.rng[ring_i, col_i]
+    cell_valid = grid.mask[ring_i, col_i]
+    seen_through = in_fov & cell_valid & (measured > rng + margin)
+    return ~seen_through
+
+
+@partial(jax.jit, static_argnames=())
+def unsupported_mask(
+    scan_pb: PointBatch,
+    map_pb: PointBatch,
+    pose: jax.Array,  # (7,) scan pose (map frame)
+    dist_thresh: float = 0.5,
+) -> jax.Array:
+    """(N,) True where a scan point has NO map support within dist_thresh —
+    candidate dynamic points (or genuinely new structure; persistence over
+    frames disambiguates, which the caller tracks)."""
+    world = se3.pose_apply(pose, scan_pb.xyz)
+    d, _ = neighbors.nn1(world, scan_pb.mask, map_pb.xyz, map_pb.mask)
+    return scan_pb.mask & (d > dist_thresh * dist_thresh)
