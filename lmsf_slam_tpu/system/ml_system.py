@@ -221,6 +221,7 @@ class MultiLidarSystem:
         # IMU-aided front end (LIG capability; single-lidar only for now)
         self._lio = None
         self._enu = None
+        self._pending_gnss = None  # latest ENU fix, attached to next keyframe
         if config.use_imu:
             assert n == 1, "use_imu currently supports a single lidar"
             from ..lio import LioConfig, LioTracker
@@ -353,10 +354,11 @@ class MultiLidarSystem:
             self.calib_status = 2
 
     def process_gnss(self, lla: np.ndarray, pos_std: float = 0.1):
-        """Fuse a GNSS fix into the IMU filter (requires ``use_imu``). The
-        first fix anchors the local ENU frame; note the ENU frame coincides
-        with the odometry frame only up to the initial pose — production use
-        pairs this with a yaw alignment (future GNSS-graph constraint)."""
+        """Fuse a GNSS fix into the IMU filter (requires ``use_imu``) and
+        remember it so the next keyframe carries it as an absolute graph
+        prior. The first fix anchors the local ENU frame; the ENU frame
+        coincides with the odometry frame only up to the initial pose —
+        production use pairs this with a yaw alignment."""
         assert self._lio is not None, "process_gnss requires use_imu=True"
         from ..estimator import eskf_update_position
         from ..estimator.gnss import lla_to_enu, make_enu_frame
@@ -367,6 +369,7 @@ class MultiLidarSystem:
         self._lio.eskf = eskf_update_position(
             self._lio.eskf, jnp.asarray(pos), jnp.float32(pos_std)
         )
+        self._pending_gnss = np.asarray(pos, np.float32)
 
     def process(
         self, scan, timestamp: float,
@@ -421,14 +424,18 @@ class MultiLidarSystem:
         backend_out: Optional[BackendOutput] = None
         is_kf = self.gate.need_update(odom_pose, timestamp)
         if is_kf:
+            gnss = self._pending_gnss
+            self._pending_gnss = None
             if self._async is not None:
                 # enqueue only: corrections arrive via the published odom2map
+                # (GNSS priors ride the sync path; the async facade keeps the
+                # keyframe API minimal)
                 odom2map, mode = self._async.submit(
                     timestamp, edge, surf, odom_pose
                 )
             else:
                 backend_out = self.backend.add_keyframe(
-                    timestamp, edge, surf, odom_pose
+                    timestamp, edge, surf, odom_pose, gnss_pos=gnss
                 )
 
         if self._async is not None:

@@ -237,3 +237,31 @@ def test_system_with_imu(skewed_scans):
     # GNSS fix at the current position (ENU anchor = first fix) doesn't break
     system.process_gnss(np.array([48.0, 11.0, 500.0]))
     assert np.isfinite(np.asarray(system._lio.eskf.p)).all()
+
+
+def test_system_gnss_prior_reaches_keyframe(skewed_scans):
+    """A GNSS fix via process_gnss() lands on the next keyframe as a graph
+    prior (LIG end-to-end: sensor fix → ESKF + absolute anchor)."""
+    from lmsf_slam_tpu.backend import LoopConfig
+    from lmsf_slam_tpu.system import FeatureParams, MultiLidarSystem, SystemConfig
+
+    world, poses, imu, scans = skewed_scans
+    cfg = SystemConfig(
+        feature=FeatureParams(rings=16, width=360, edges_per_sector=4,
+                              surfs_per_sector=12),
+        tracker_window=8,
+        registration=RegistrationParams(max_iters=8, max_corr_dist=2.0),
+        keyframe_trans=0.01,  # every frame is a keyframe
+        use_imu=True,
+        loop=LoopConfig(min_frame_interval=10**9),
+    )
+    system = MultiLidarSystem(cfg)
+    system.process(scans[0], 0.0)
+    system.process_gnss(np.array([48.0, 11.0, 500.0]))
+    gy, ac, dts = imu[1]
+    system.process(scans[1], 0.1, gyro=gy, acc=ac, imu_dts=dts)
+    db = system.backend.db
+    assert db.n_keyframes == 2
+    assert bool(db.gnss_valid[1]) and not bool(db.gnss_valid[0])
+    # the anchor is the ENU origin (first fix): position ~0
+    assert np.linalg.norm(db.gnss_pos[1]) < 1e-3
