@@ -18,10 +18,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..common import se3
-from ..common.pointcloud import PointBatch
 
 
 class OccupancyConfig(NamedTuple):
