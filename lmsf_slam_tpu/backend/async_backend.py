@@ -43,6 +43,7 @@ class AsyncBackend:
         self._odom2map = np.asarray(backend.odom2map).copy()
         self._mode = backend.mode
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -54,23 +55,52 @@ class AsyncBackend:
                 item = self._q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            stamp, edge, surf, odom_pose = item
+            stamp, edge, surf, odom_pose, gnss_pos = item
             try:
-                out = self.backend.add_keyframe(stamp, edge, surf, odom_pose)
+                out = self.backend.add_keyframe(
+                    stamp, edge, surf, odom_pose, gnss_pos=gnss_pos
+                )
                 with self._lock:
                     self._outputs.append(out)
                     self._odom2map = np.asarray(self.backend.odom2map).copy()
                     self._mode = self.backend.mode
+            except BaseException as exc:  # noqa: BLE001 — surfaced at submit/flush
+                # a dead worker must not deadlock the frontend: record the
+                # failure, keep draining so Queue.join() terminates, and
+                # re-raise from the next submit()/flush() on the caller thread
+                with self._lock:
+                    if self._error is None:
+                        self._error = exc
             finally:
                 self._q.task_done()
+
+    def _raise_pending(self):
+        with self._lock:
+            err, self._error = self._error, None
+        if err is not None:
+            raise RuntimeError("async backend worker failed") from err
 
     # -- frontend API -----------------------------------------------------------
 
     def submit(
-        self, stamp: float, edge: PointBatch, surf: PointBatch, odom_pose
+        self, stamp: float, edge: PointBatch, surf: PointBatch, odom_pose,
+        gnss_pos=None,
     ) -> tuple[np.ndarray, WorkMode]:
-        """Enqueue a keyframe; returns (latest odom2map, mode) immediately."""
-        self._q.put((stamp, edge, surf, np.asarray(odom_pose, np.float32)))
+        """Enqueue a keyframe; returns (latest odom2map, mode) immediately.
+
+        ``gnss_pos``: optional (3,) absolute-position observation riding with
+        the keyframe into the graph as a unary prior — same contract as
+        ``LifelongBackend.add_keyframe``."""
+        self._raise_pending()
+        self._q.put(
+            (
+                stamp,
+                edge,
+                surf,
+                np.asarray(odom_pose, np.float32),
+                None if gnss_pos is None else np.asarray(gnss_pos, np.float32),
+            )
+        )
         with self._lock:
             return self._odom2map.copy(), self._mode
 
@@ -91,6 +121,7 @@ class AsyncBackend:
     def flush(self, timeout: Optional[float] = None):
         """Block until every submitted keyframe has been processed."""
         self._q.join()
+        self._raise_pending()
         with self._lock:
             self._odom2map = np.asarray(self.backend.odom2map).copy()
             self._mode = self.backend.mode

@@ -21,6 +21,7 @@ localization query (the reference re-reads PCDs and transforms the same way,
 from __future__ import annotations
 
 import os
+import shutil
 from typing import NamedTuple
 
 import jax
@@ -47,6 +48,19 @@ def _grow(arr: np.ndarray, new_cap: int) -> np.ndarray:
     out = np.zeros((new_cap,) + arr.shape[1:], arr.dtype)
     out[: arr.shape[0]] = arr
     return out
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _mirror_knn(pos, valid, query, max_id, k: int):
+    """Masked k-NN over the device position mirror: one top-k, no kdtree."""
+    d2 = jnp.sum((pos - query[None, :]) ** 2, axis=-1)
+    ok = valid & (jnp.arange(pos.shape[0]) < max_id)
+    d2 = jnp.where(ok, d2, jnp.inf)
+    neg, ids = jax.lax.top_k(-d2, k)
+    return ids, jnp.sqrt(jnp.maximum(-neg, 0.0))
 
 
 # bulky per-keyframe payloads live on disk when a storage_dir is given —
@@ -102,6 +116,12 @@ class KeyframeDatabase:
         self.eij = np.zeros((n, 2), np.int32)
         self.ez = np.zeros((n, 7), np.float32)
         self.esqrtw = np.zeros((n, 6), np.float32)
+        # device-resident search mirror (descriptors, ring keys, positions):
+        # appended incrementally, so loop/reloc candidate search never
+        # re-uploads O(N) host state per query (the reference's incremental
+        # kdtree-rebuild policy, `SceneRecognitionScanContext.hpp:30-33,74-92`)
+        self._mirror: dict | None = None
+        self._pose_rev = 0  # bumped by update_poses → position mirror refresh
 
     def _alloc(self, name: str, shape, dtype):
         if self.storage_dir is None or name not in _DISK_FIELDS:
@@ -296,19 +316,81 @@ class KeyframeDatabase:
         self.map_poses[: self.n_keyframes] = np.asarray(
             optimized[: self.n_keyframes], np.float32
         )
+        self._pose_rev += 1
 
-    def descriptor_arrays(self, pad_to_pow2: bool = True):
-        """(sc (N,R,S), ring_keys (N,R), valid (N,)) device arrays."""
-        N = max(self.n_keyframes, 1)
-        if pad_to_pow2:
-            N = 1 << (N - 1).bit_length()
-        sc = np.zeros((N,) + self.sc_shape, np.float32)
-        rk = np.zeros((N, self.sc_shape[0]), np.float32)
-        valid = np.zeros(N, bool)
-        sc[: self.n_keyframes] = self.sc[: self.n_keyframes]
-        rk[: self.n_keyframes] = self.ring_keys[: self.n_keyframes]
-        valid[: self.n_keyframes] = True
-        return jnp.asarray(sc), jnp.asarray(rk), jnp.asarray(valid)
+    # -- device search mirror -------------------------------------------------
+
+    def _mirror_sync(self) -> dict:
+        """Bring the device mirror up to date. Costs: a full upload only on
+        capacity growth (pow2, so ≤ log2 N times ever); otherwise one small
+        H2D of the delta rows; a positions refresh after each optimize."""
+        n = self.n_keyframes
+        cap = 1 << max(n - 1, 0).bit_length()
+        m = self._mirror
+        if m is None or m["cap"] < cap:
+            sc = np.zeros((cap,) + self.sc_shape, np.float32)
+            rk = np.zeros((cap, self.sc_shape[0]), np.float32)
+            pos = np.zeros((cap, 3), np.float32)
+            sc[:n] = self.sc[:n]
+            rk[:n] = self.ring_keys[:n]
+            pos[:n] = self.map_poses[:n, 4:]
+            m = dict(
+                cap=cap,
+                n=n,
+                pose_rev=self._pose_rev,
+                sc=jnp.asarray(sc),
+                rk=jnp.asarray(rk),
+                pos=jnp.asarray(pos),
+                valid=jnp.arange(cap) < n,
+            )
+            self._mirror = m
+            return m
+        if m["n"] < n:
+            lo = m["n"]
+            m["sc"] = jax.lax.dynamic_update_slice(
+                m["sc"], jnp.asarray(self.sc[lo:n], jnp.float32), (lo, 0, 0)
+            )
+            m["rk"] = jax.lax.dynamic_update_slice(
+                m["rk"], jnp.asarray(self.ring_keys[lo:n], jnp.float32), (lo, 0)
+            )
+            m["pos"] = jax.lax.dynamic_update_slice(
+                m["pos"], jnp.asarray(self.map_poses[lo:n, 4:], jnp.float32), (lo, 0)
+            )
+            m["valid"] = jnp.arange(m["cap"]) < n
+            m["n"] = n
+        if m["pose_rev"] != self._pose_rev:
+            pos = np.zeros((m["cap"], 3), np.float32)
+            pos[:n] = self.map_poses[:n, 4:]
+            m["pos"] = jnp.asarray(pos)
+            m["pose_rev"] = self._pose_rev
+        return m
+
+    def descriptor_arrays(self):
+        """(sc (N,R,S), ring_keys (N,R), valid (N,)) — persistent device
+        arrays (pow2 capacity), appended incrementally on ``add_keyframe``."""
+        m = self._mirror_sync()
+        return m["sc"], m["rk"], m["valid"]
+
+    def nearest_ids(
+        self, query_xyz, k: int, max_id: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """k nearest keyframes to ``query_xyz`` by optimized position —
+        one device top-k over the resident position mirror (replaces the
+        reference's pcl kdtree `HistoricalPositionSearch`,
+        `loopDetection.hpp:225-244`). Returns (ids, distances) as numpy,
+        nearest first; entries with infinite distance are filtered out."""
+        m = self._mirror_sync()
+        kk = min(k, m["cap"])
+        ids, d = _mirror_knn(
+            m["pos"],
+            m["valid"],
+            jnp.asarray(query_xyz, jnp.float32),
+            jnp.int32(self.n_keyframes if max_id is None else max_id),
+            kk,
+        )
+        ids, d = np.asarray(ids), np.asarray(d)
+        keep = np.isfinite(d)
+        return ids[keep], d[keep]
 
     # -- persistence (the lifelong checkpoint) -------------------------------
 
@@ -351,7 +433,12 @@ class KeyframeDatabase:
         if self.storage_dir is not None:
             for name in _DISK_FIELDS:
                 getattr(self, name).flush()
-            np.savez_compressed(path, storage="memmap", **small)
+            np.savez_compressed(
+                path,
+                storage="memmap",
+                payload_dir=os.path.abspath(self.storage_dir),
+                **small,
+            )
         else:
             np.savez_compressed(
                 path,
@@ -366,16 +453,26 @@ class KeyframeDatabase:
 
     @classmethod
     def load(cls, path: str, storage_dir: str | None = None) -> "KeyframeDatabase":
+        """Boot a database from a checkpoint.
+
+        Disk-backed (memmap) checkpoints: the payload ``.dat`` files are
+        located via the checkpoint's recorded ``payload_dir`` (fallback: the
+        checkpoint's own directory) and COPIED into the new session's
+        ``storage_dir`` (default: ``<path minus extension>_session``), so a
+        saved checkpoint stays immutable — a crash mid-session can never
+        corrupt the only copy. Pass ``storage_dir`` equal to the payload
+        directory to explicitly resume in place.
+        """
         z = np.load(path)
         storage = str(z["storage"]) if "storage" in z else "ram"
         n = z["stamps"].shape[0]
         e = z["eij"].shape[0]
         if storage == "memmap":
+            source_dir = str(z["payload_dir"]) if "payload_dir" in z else ""
+            if not source_dir or not os.path.isdir(source_dir):
+                source_dir = os.path.dirname(os.path.abspath(path))
             if storage_dir is None:
-                raise ValueError(
-                    "this checkpoint is disk-backed: pass storage_dir="
-                    "<directory with the .dat payload files>"
-                )
+                storage_dir = os.path.splitext(os.path.abspath(path))[0] + "_session"
             sc_shape = tuple(int(x) for x in z["sc_shape"])
             db = cls(
                 edge_capacity=int(z["edge_capacity"]),
@@ -384,14 +481,20 @@ class KeyframeDatabase:
                 sc_rings=sc_shape[0],
                 sc_sectors=sc_shape[1],
             )
+            in_place = os.path.abspath(storage_dir) == os.path.abspath(source_dir)
+            if not in_place:
+                os.makedirs(storage_dir, exist_ok=True)
             db.storage_dir = storage_dir
             for name in _DISK_FIELDS:
                 row_shape, dtype = db._field_spec(name)
-                fpath = os.path.join(storage_dir, name + ".dat")
+                src = os.path.join(source_dir, name + ".dat")
                 row_bytes = int(np.prod(row_shape)) * np.dtype(dtype).itemsize
-                cap = os.path.getsize(fpath) // row_bytes
+                cap = os.path.getsize(src) // row_bytes
                 if cap < n:
-                    raise ValueError(f"{fpath} holds {cap} rows < {n} keyframes")
+                    raise ValueError(f"{src} holds {cap} rows < {n} keyframes")
+                fpath = os.path.join(storage_dir, name + ".dat")
+                if not in_place:
+                    shutil.copyfile(src, fpath)
                 setattr(
                     db,
                     name,

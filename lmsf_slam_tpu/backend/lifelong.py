@@ -138,11 +138,10 @@ class LifelongBackend:
         )
 
     def _knn_local_map(self, position: np.ndarray):
-        """Local map from the k nearest historical keyframes (:242-289)."""
+        """Local map from the k nearest historical keyframes (:242-289) —
+        one device top-k over the resident position mirror."""
         k = min(self.config.localization_knn, self.db.n_keyframes)
-        pos = self.db.positions()
-        d = np.linalg.norm(pos - position[None, :], axis=1)
-        ids = np.argsort(d)[:k]
+        ids, _ = self.db.nearest_ids(position, k)
         return self.db.local_map_ids(np.sort(ids))
 
     # -- FSM arrows -----------------------------------------------------------
@@ -188,8 +187,8 @@ class LifelongBackend:
             # switch to MAPPING (:355-373)
             map_pose = np.asarray(reg.pose)
             kf_id = self.db.add_keyframe(stamp, odom_pose, map_pose, edge, surf)
-            pos = self.db.positions()[: kf_id]
-            nearest = int(np.argmin(np.linalg.norm(pos - map_pose[4:], axis=1)))
+            nn_ids, _ = self.db.nearest_ids(map_pose[4:], 1, max_id=kf_id)
+            nearest = int(nn_ids[0])
             z = se3.pose_between(
                 jnp.asarray(self.db.map_poses[nearest]), jnp.asarray(map_pose)
             )
@@ -297,6 +296,12 @@ class LifelongBackend:
                 prior_sqrtw=jnp.full((K, 3), 1.0 / self.config.gnss_std),
                 prior_mask=jnp.asarray(pmask),
             )
+            if fixed is None:
+                # absolute priors provide the gauge — pinning vertex 0 as
+                # well would fight them whenever keyframe 0's map pose
+                # disagrees with the GNSS fixes (relocalized / merged /
+                # long-drifted sessions), so free every vertex
+                fixed = jnp.zeros(g.poses.shape[0], bool)
         poses, stats = optimize_pose_graph(
             g.poses, g.vmask, g.edges_ij, g.edges_z, g.edges_sqrtw, g.emask,
             fixed=fixed,
@@ -314,7 +319,11 @@ class LifelongBackend:
         self.db.save(path)
 
     @classmethod
-    def load(cls, path: str, **kwargs) -> "LifelongBackend":
+    def load(
+        cls, path: str, storage_dir: str | None = None, **kwargs
+    ) -> "LifelongBackend":
         """Boot from an existing database → RELOCALIZATION mode
-        (reference `Load()` `backend_lifelong.hpp:97-118`)."""
-        return cls(db=KeyframeDatabase.load(path), **kwargs)
+        (reference `Load()` `backend_lifelong.hpp:97-118`). ``storage_dir``
+        is forwarded to :meth:`KeyframeDatabase.load` for disk-backed
+        checkpoints (default: a fresh session directory next to ``path``)."""
+        return cls(db=KeyframeDatabase.load(path, storage_dir=storage_dir), **kwargs)

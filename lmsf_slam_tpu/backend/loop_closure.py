@@ -100,8 +100,7 @@ class LoopDetector:
         cutoff = newest_id - max(cfg.exclude_recent, cfg.min_frame_interval)
         if cutoff <= 0:
             return None
-        idx = np.arange(valid.shape[0])
-        valid = jnp.asarray(np.asarray(valid) & (idx < cutoff))
+        valid = valid & (jnp.arange(valid.shape[0]) < cutoff)
         best_id, dist, yaw = scancontext.sc_search(query_sc, sc_db, rk_db, valid)
         best_id, dist, yaw = int(best_id), float(dist), float(yaw)
         if best_id < 0 or dist > cfg.sc_dist_thresh:
@@ -113,12 +112,10 @@ class LoopDetector:
         cutoff = newest_id - cfg.min_frame_interval
         if cutoff <= 0:
             return None
-        pos = db.positions()[:cutoff]
-        d = np.linalg.norm(pos - np.asarray(query_xyz)[None, :], axis=1)
-        best = int(np.argmin(d))
-        if d[best] > cfg.search_radius:
+        ids, d = db.nearest_ids(np.asarray(query_xyz), 1, max_id=cutoff)
+        if ids.size == 0 or d[0] > cfg.search_radius:
             return None
-        return best, 0.0  # no yaw prior from geometry
+        return int(ids[0]), 0.0  # no yaw prior from geometry
 
     # -- two-stage geometric verification ------------------------------------
 

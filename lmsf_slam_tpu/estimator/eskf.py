@@ -171,6 +171,60 @@ def eskf_update_position(
     )
 
 
+@jax.jit
+def eskf_update_wheel(
+    state: EskfState,
+    speed: jax.Array,  # scalar: signed forward wheel speed (body x), m/s
+    speed_std: jax.Array,
+    nhc_std: jax.Array = jnp.float32(0.05),
+    chi2_gate: jax.Array = jnp.float32(16.27),  # χ²₃ @ 0.999
+) -> EskfState:
+    """Wheel-odometry velocity update with non-holonomic constraints.
+
+    Completes the reference's wheel stack, which is declared but empty
+    (`inc/Estimator/Predictor/wheels_predictor.hpp` stub, wheel states
+    `inc/Estimator/states.hpp:68-74`, LWIO node skeleton
+    `src/apps/src/LIO/FilterLIO/simple_lwio_node.cpp`): the measurement is
+    the body-frame velocity, z = [speed, 0, 0] — the encoder gives forward
+    speed, and a ground vehicle has (approximately) zero lateral/vertical
+    body velocity (NHC rows). A χ² gate on the whitened residual rejects
+    wheel slip / skid samples instead of dragging the state (branchless:
+    the update is computed and masked).
+
+    h(x) = Rᵀ v; ∂h/∂δv = Rᵀ, ∂h/∂δθ = skew(Rᵀ v) (right-perturbation).
+    """
+    R = se3.quat_to_matrix(state.q)
+    vb = R.T @ state.v
+    r = jnp.concatenate([speed[None], jnp.zeros(2)]) - vb  # (3,)
+    H = jnp.zeros((3, 15))
+    H = H.at[:, V0:V0 + 3].set(R.T)
+    H = H.at[:, TH0:TH0 + 3].set(se3.skew(vb))
+    V = jnp.diag(jnp.stack([speed_std**2, nhc_std**2, nhc_std**2]))
+    P = state.cov
+    PHt = P @ H.T  # (15,3)
+    S = H @ PHt + V
+    Sinv = jnp.linalg.inv(S)
+    # slip rejection: Mahalanobis gate on the innovation
+    ok = (r @ Sinv @ r) < chi2_gate
+    K = PHt @ Sinv  # (15,3)
+    dx = K @ r
+    IKH = jnp.eye(15) - K @ H
+    cov = IKH @ P @ IKH.T + K @ V @ K.T
+    updated = EskfState(
+        p=state.p + dx[P0:P0 + 3],
+        v=state.v + dx[V0:V0 + 3],
+        q=se3.quat_normalize(
+            se3.quat_mul(state.q, se3.so3_exp_quat(dx[TH0:TH0 + 3]))
+        ),
+        ba=state.ba + dx[BA0:BA0 + 3],
+        bg=state.bg + dx[BG0:BG0 + 3],
+        cov=cov,
+    )
+    return jax.tree_util.tree_map(
+        lambda u, s: jnp.where(ok, u, s), updated, state
+    )
+
+
 @partial(jax.jit, static_argnames=("config",))
 def eskf_run(
     init: EskfState,
@@ -181,24 +235,40 @@ def eskf_run(
     gnss_valid: jax.Array,  # (N,) bool
     gnss_std: float | jax.Array = 0.05,
     config: EskfConfig = EskfConfig(),
+    wheel_speed: jax.Array | None = None,  # (N,) forward wheel speed
+    wheel_valid: jax.Array | None = None,  # (N,) bool
+    wheel_std: float | jax.Array = 0.1,
 ):
     """Whole-log filtering as ONE fused scan: per IMU sample predict (to the
-    next sample) and, where ``gnss_valid``, correct. Returns (final state,
-    stacked per-sample (p, v, cov_diag))."""
+    next sample) and, where ``gnss_valid``/``wheel_valid``, correct. Returns
+    (final state, stacked per-sample (p, v, cov_diag)). With wheel inputs
+    this is the LWIO configuration (lidar corrections ride separately via
+    ``eskf_update_pose``)."""
+    has_wheel = wheel_speed is not None
+    if not has_wheel:
+        wheel_speed = jnp.zeros(gyro.shape[0])
+        wheel_valid = jnp.zeros(gyro.shape[0], bool)
 
     def step(state, inp):
-        g0, a0, g1, a1, d, zp, zv = inp
+        g0, a0, g1, a1, d, zp, zv, ws, wv = inp
         state = eskf_predict(state, g0, a0, g1, a1, d, config)
         corrected = eskf_update_position(state, zp, jnp.asarray(gnss_std))
         state = jax.tree_util.tree_map(
             lambda c, s: jnp.where(zv, c, s), corrected, state
         )
+        if has_wheel:
+            wheeled = eskf_update_wheel(state, ws, jnp.asarray(wheel_std))
+            state = jax.tree_util.tree_map(
+                lambda c, s: jnp.where(wv, c, s), wheeled, state
+            )
         return state, (state.p, state.v, jnp.diagonal(state.cov))
 
     g1 = jnp.concatenate([gyro[1:], gyro[-1:]])
     a1 = jnp.concatenate([acc[1:], acc[-1:]])
     final, traj = jax.lax.scan(
-        step, init, (gyro, acc, g1, a1, dt, gnss_pos, gnss_valid)
+        step,
+        init,
+        (gyro, acc, g1, a1, dt, gnss_pos, gnss_valid, wheel_speed, wheel_valid),
     )
     return final, traj
 

@@ -42,6 +42,7 @@ class LioConfig(NamedTuple):
     eskf: EskfConfig = EskfConfig()
     reg_pos_std: float = 0.05  # registration measurement noise
     reg_rot_std: float = 0.01
+    wheel_std: float = 0.1  # encoder speed noise (LWIO, TODO #1's wheel leg)
     deskew_enabled: bool = True
     # failure detection (imuPreintegration_node.cpp:510-533)
     max_velocity: float = 30.0
@@ -65,7 +66,17 @@ class LioTracker:
         self.n_scans = 0
         self.failures = 0
 
-    def _propagate(self, gyro, acc, dts):
+    def _propagate(self, gyro, acc, dts, wheel_speeds=None):
+        wheel_kw = {}
+        if wheel_speeds is not None:
+            ws = np.broadcast_to(
+                np.asarray(wheel_speeds, np.float32), (len(gyro),)
+            )
+            wheel_kw = dict(
+                wheel_speed=jnp.asarray(ws),
+                wheel_valid=jnp.ones(len(gyro), bool),
+                wheel_std=jnp.float32(self.config.wheel_std),
+            )
         final, _ = eskf_run(
             self.eskf,
             jnp.asarray(gyro, jnp.float32),
@@ -74,6 +85,7 @@ class LioTracker:
             jnp.zeros((len(gyro), 3)),
             jnp.zeros(len(gyro), bool),
             config=self.config.eskf,
+            **wheel_kw,
         )
         return final
 
@@ -92,12 +104,17 @@ class LioTracker:
         gyro: Optional[np.ndarray] = None,  # (M,3) IMU window since last scan
         acc: Optional[np.ndarray] = None,
         imu_dts: Optional[np.ndarray] = None,  # (M,)
+        wheel_speeds: Optional[np.ndarray] = None,  # (M,) or scalar, m/s
     ):
-        """One LIO step. Returns (pose (7,), TrackerOutput)."""
+        """One LIO step. Returns (pose (7,), TrackerOutput).
+
+        ``wheel_speeds``: optional encoder forward-speed samples aligned with
+        the IMU window — enables the LWIO configuration (wheel velocity +
+        non-holonomic constraints fused in the same propagation scan)."""
         cfg = self.config
         prediction = None
         if self.n_scans > 0 and gyro is not None and len(gyro) > 0:
-            self.eskf = self._propagate(gyro, acc, imu_dts)
+            self.eskf = self._propagate(gyro, acc, imu_dts, wheel_speeds)
             if self._failure_check(self.eskf):
                 # reset velocity/bias, keep pose (LIO-SAM resets its graph)
                 self.eskf = self.eskf._replace(

@@ -376,13 +376,16 @@ class MultiLidarSystem:
         gyro: Optional[np.ndarray] = None,
         acc: Optional[np.ndarray] = None,
         imu_dts: Optional[np.ndarray] = None,
+        wheel_speeds: Optional[np.ndarray] = None,
     ) -> FrameResult:
         """One frame: featurize → (calibrate) → track → keyframe gate → backend.
 
         ``scan``: a PointBatch, or a list of PointBatches (one per lidar,
         index 0 = primary) for multi-lidar systems. With ``use_imu``, pass
         the IMU window since the previous frame (gyro/acc (M,3), dts (M,))
-        for ESKF prediction + sweep deskew.
+        for ESKF prediction + sweep deskew; ``wheel_speeds`` ((M,) or scalar)
+        adds the encoder leg of the LiDAR-IMU-wheel-GNSS fusion (reference
+        TODO #1, `simple_lwio_node.cpp`).
         """
         scans = scan if isinstance(scan, (list, tuple)) else [scan]
         assert len(scans) == self.config.n_lidars, (
@@ -408,7 +411,8 @@ class MultiLidarSystem:
 
         if self._lio is not None:
             odom_pose, out = self._lio.process_scan(
-                edge, surf, timestamp, gyro=gyro, acc=acc, imu_dts=imu_dts
+                edge, surf, timestamp, gyro=gyro, acc=acc, imu_dts=imu_dts,
+                wheel_speeds=wheel_speeds,
             )
             self.tracker_state = self._lio.tracker_state
         else:
@@ -427,11 +431,10 @@ class MultiLidarSystem:
             gnss = self._pending_gnss
             self._pending_gnss = None
             if self._async is not None:
-                # enqueue only: corrections arrive via the published odom2map
-                # (GNSS priors ride the sync path; the async facade keeps the
-                # keyframe API minimal)
+                # enqueue only: corrections arrive via the published odom2map;
+                # GNSS priors ride the queue with the keyframe
                 odom2map, mode = self._async.submit(
-                    timestamp, edge, surf, odom_pose
+                    timestamp, edge, surf, odom_pose, gnss_pos=gnss
                 )
             else:
                 backend_out = self.backend.add_keyframe(
@@ -509,11 +512,16 @@ class MultiLidarSystem:
 
     @classmethod
     def load(
-        cls, path: str, config: SystemConfig = SystemConfig()
+        cls,
+        path: str,
+        config: SystemConfig = SystemConfig(),
+        storage_dir: Optional[str] = None,
     ) -> "MultiLidarSystem":
         """Boot from a saved lifelong database → backend starts in
-        RELOCALIZATION (reference `SystemLoad`, `ML_System.hpp:202-206`)."""
+        RELOCALIZATION (reference `SystemLoad`, `ML_System.hpp:202-206`).
+        ``storage_dir``: session directory for disk-backed checkpoints."""
         backend = LifelongBackend.load(
-            path, config=config.lifelong, loop_config=config.loop
+            path, storage_dir=storage_dir, config=config.lifelong,
+            loop_config=config.loop,
         )
         return cls(config=config, backend=backend)

@@ -74,10 +74,29 @@ def test_async_flush_and_save(tmp_path):
     for i in range(10):
         edge, surf = scan_at(world, traj[i], jax.random.fold_in(KEY, 100 + i),
                              n_edge=128, n_surf=512, noise=0.01, max_range=12.0)
-        backend.submit(0.1 * i, edge, surf, np.asarray(traj[i]))
+        # GNSS observations ride the queue with the keyframe (advisor r2:
+        # the async path used to silently drop them)
+        gnss = np.asarray(traj[i])[4:] if i % 3 == 0 else None
+        backend.submit(0.1 * i, edge, surf, np.asarray(traj[i]), gnss_pos=gnss)
     path = str(tmp_path / "async.npz")
     backend.save(path)  # implies flush
     assert backend.db.n_keyframes == 10
+    assert backend.db.gnss_valid[:10].sum() == 4  # i = 0,3,6,9
     loaded = LifelongBackend.load(path)
     assert loaded.db.n_keyframes == 10
+    assert loaded.db.gnss_valid[:10].sum() == 4
+    backend.close()
+
+
+def test_async_worker_error_surfaces_no_deadlock():
+    """A worker exception must not kill the thread silently: flush raises
+    instead of deadlocking on Queue.join()."""
+    import pytest
+
+    backend = AsyncBackend(LifelongBackend(loop_config=_loop_cfg()))
+    # poison: edge/surf of the wrong type blows up inside add_keyframe
+    backend.submit(0.0, None, None, np.asarray(se3.pose_identity()))
+    with pytest.raises(RuntimeError, match="async backend worker failed"):
+        backend.flush()
+    # the queue drained; the facade stays usable for shutdown
     backend.close()

@@ -239,6 +239,54 @@ def test_system_with_imu(skewed_scans):
     assert np.isfinite(np.asarray(system._lio.eskf.p)).all()
 
 
+def test_wheel_update_bounds_drift_and_rejects_slip():
+    """LWIO wheel leg (reference TODO #1, `simple_lwio_node.cpp` /
+    `wheels_predictor.hpp` stubs): encoder speed + non-holonomic constraints
+    bound the velocity drift an uncompensated IMU bias causes, and the χ²
+    gate rejects wheel-slip samples instead of dragging the state."""
+    from lmsf_slam_tpu.estimator import eskf_init_state, eskf_run
+
+    n, dt = 1000, 0.01  # 10 s of straight driving at 2 m/s along +x
+    gyro = np.tile(np.array([0, 0, 0.002], np.float32), (n, 1))  # gyro bias
+    acc = np.tile(np.array([0.15, 0, G + 0.05], np.float32), (n, 1))  # acc bias
+    dts = np.full(n, dt, np.float32)
+    no_gnss = (jnp.zeros((n, 3)), jnp.zeros(n, bool))
+    init = eskf_init_state()._replace(v=jnp.asarray([2.0, 0.0, 0.0]))
+    true_p = np.array([2.0 * n * dt, 0.0, 0.0])
+
+    f_imu, _ = eskf_run(init, jnp.asarray(gyro), jnp.asarray(acc),
+                        jnp.asarray(dts), *no_gnss)
+    err_imu = float(np.linalg.norm(np.asarray(f_imu.p) - true_p))
+
+    ws = jnp.full(n, 2.0)
+    f_w, _ = eskf_run(init, jnp.asarray(gyro), jnp.asarray(acc),
+                      jnp.asarray(dts), *no_gnss,
+                      wheel_speed=ws, wheel_valid=jnp.ones(n, bool),
+                      wheel_std=0.05)
+    err_w = float(np.linalg.norm(np.asarray(f_w.p) - true_p))
+    assert err_w < 0.3 * err_imu, (err_w, err_imu)
+
+    # wheel slip: every 10th sample reads an absurd 15 m/s — the gate must
+    # reject them (final state ≈ the clean-wheel run)
+    ws_slip = np.full(n, 2.0, np.float32)
+    ws_slip[::10] = 15.0
+    f_s, _ = eskf_run(init, jnp.asarray(gyro), jnp.asarray(acc),
+                      jnp.asarray(dts), *no_gnss,
+                      wheel_speed=jnp.asarray(ws_slip),
+                      wheel_valid=jnp.ones(n, bool), wheel_std=0.05)
+    assert float(np.linalg.norm(np.asarray(f_s.p) - np.asarray(f_w.p))) < 0.3
+
+    # plumbing: the LioTracker accepts wheel samples end to end
+    lio = LioTracker(LioConfig(tracker=_tracker_cfg()))
+    from lmsf_slam_tpu.common.pointcloud import PointBatch
+    e = PointBatch.empty(384)
+    s = PointBatch.empty(1152)
+    lio.process_scan(e, s, 0.0)
+    lio.process_scan(e, s, 0.1, gyro=gyro[:10], acc=acc[:10],
+                     imu_dts=dts[:10], wheel_speeds=2.0)
+    assert np.isfinite(np.asarray(lio.eskf.p)).all()
+
+
 def test_system_gnss_prior_reaches_keyframe(skewed_scans):
     """A GNSS fix via process_gnss() lands on the next keyframe as a graph
     prior (LIG end-to-end: sensor fix → ESKF + absolute anchor)."""
