@@ -55,10 +55,11 @@ class AsyncBackend:
                 item = self._q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            stamp, edge, surf, odom_pose, gnss_pos = item
+            stamp, edge, surf, odom_pose, gnss_pos, scan_grid = item
             try:
                 out = self.backend.add_keyframe(
-                    stamp, edge, surf, odom_pose, gnss_pos=gnss_pos
+                    stamp, edge, surf, odom_pose, gnss_pos=gnss_pos,
+                    scan_grid=scan_grid,
                 )
                 with self._lock:
                     self._outputs.append(out)
@@ -84,12 +85,12 @@ class AsyncBackend:
 
     def submit(
         self, stamp: float, edge: PointBatch, surf: PointBatch, odom_pose,
-        gnss_pos=None,
+        gnss_pos=None, scan_grid=None,
     ) -> tuple[np.ndarray, WorkMode]:
         """Enqueue a keyframe; returns (latest odom2map, mode) immediately.
 
-        ``gnss_pos``: optional (3,) absolute-position observation riding with
-        the keyframe into the graph as a unary prior — same contract as
+        ``gnss_pos``/``scan_grid``: optional GNSS observation and organized
+        range image riding with the keyframe — same contract as
         ``LifelongBackend.add_keyframe``."""
         self._raise_pending()
         self._q.put(
@@ -99,6 +100,7 @@ class AsyncBackend:
                 surf,
                 np.asarray(odom_pose, np.float32),
                 None if gnss_pos is None else np.asarray(gnss_pos, np.float32),
+                scan_grid,
             )
         )
         with self._lock:

@@ -251,6 +251,13 @@ class KeyframeDatabase:
     def positions(self) -> np.ndarray:
         return self.map_poses[: self.n_keyframes, 4:]
 
+    def carve(self, i: int, edge_keep: np.ndarray, surf_keep: np.ndarray):
+        """Permanently mask out points of keyframe ``i`` contradicted by
+        later observations (dynamic-object carving, reference README TODO #4
+        / static-change map update TODO #5). Masks only ever shrink."""
+        self.edge_mask[i] &= np.asarray(edge_keep, bool)
+        self.surf_mask[i] &= np.asarray(surf_keep, bool)
+
     def local_map(
         self, center_id: int, half_window: int = 5
     ) -> tuple[PointBatch, PointBatch]:

@@ -34,6 +34,12 @@ import numpy as np
 
 from ..common import se3
 from ..common.pointcloud import PointBatch
+from ..mapping.occupancy import (
+    OccupancyConfig,
+    occupancy_from_database,
+    occupancy_init,
+    occupancy_update,
+)
 from ..ops.registration import (
     RegistrationParams,
     evaluate_alignment,
@@ -80,6 +86,37 @@ class LifelongConfig(NamedTuple):
     # GNSS pairing, commented out at `backend_lifelong.hpp:477-510`, and the
     # g2o prior-xyz edge — here actually active)
     gnss_std: float = 0.1
+    # plane/floor-constraint cadence (reference hook
+    # `backend_lifelong.hpp:513-521` + g2o plane-prior edges): every Nth
+    # keyframe gets a unary factor pinning z to ``plane_z`` and roll/pitch
+    # to plane-normal alignment — kills the z/tilt drift that between-edges
+    # and position priors can't observe indoors. 0 disables.
+    plane_constraint_every: int = 0
+    plane_z: float = 0.0
+    plane_std_z: float = 0.1  # σ on height (m)
+    plane_std_rp: float = 0.05  # σ on the tilt components of R·e_z
+    # dynamic-object carving (reference README TODO #4 + static-change map
+    # update TODO #5): every stored keyframe whose points the NEW scan sees
+    # through gets those points masked out — a mover's trail disappears from
+    # the lifelong map as soon as any later scan looks through where it
+    # stood. k = how many nearest stored keyframes each new scan carves
+    # (0 disables). Requires the System to pass the scan's range image.
+    dynamic_carve_knn: int = 0
+    dynamic_carve_margin: float = 0.3  # beam must overshoot by this (m)
+    # carving never touches points within this height of the ground (rays
+    # graze the ground, so visibility tests false-fire there); the ground
+    # level is self-calibrated per scan as the 5th percentile of the scan's
+    # own map-frame heights
+    dynamic_carve_ground_clearance: float = 0.5
+    # gate unsupported scan points when inserting a keyframe in LOCALIZATION
+    # map-update (a point entering a well-mapped region with no map support
+    # is a transient; genuinely new structure persists and is captured by
+    # later mapping-mode keyframes)
+    dynamic_gate_unsupported: bool = False
+    # live 2D occupancy grid (reference README TODO #3 "synchronized"):
+    # updated on every stored keyframe, rebuilt from the database on loop
+    # closure so graph corrections propagate into the grid. None disables.
+    occupancy: Optional["OccupancyConfig"] = None
 
 
 class BackendOutput(NamedTuple):
@@ -122,6 +159,12 @@ class LifelongBackend:
         self.odom2map = np.asarray(se3.pose_identity())
         self.last_stamp = -np.inf
         self._pending = 0  # keyframes appended since last optimize
+        self._occ = (
+            occupancy_init(config.occupancy) if config.occupancy else None
+        )
+        if self._occ is not None and self.db.n_keyframes > 0:
+            # booting from an existing database: synchronize the grid
+            self._occ = occupancy_from_database(self.db, config.occupancy)
 
     # -- helpers --------------------------------------------------------------
 
@@ -144,6 +187,78 @@ class LifelongBackend:
         ids, _ = self.db.nearest_ids(position, k)
         return self.db.local_map_ids(np.sort(ids))
 
+    def _on_keyframe_stored(self, kf_id: int, scan_grid=None):
+        """Post-insertion hooks: live occupancy update + dynamic carving."""
+        cfg = self.config
+        pose = jnp.asarray(self.db.map_poses[kf_id])
+        if self._occ is not None:
+            edge, surf = self.db.keyframe_clouds(kf_id)
+            pts = jnp.concatenate([edge.xyz, surf.xyz])
+            m = jnp.concatenate([edge.mask, surf.mask])
+            w = se3.pose_apply(pose, pts)
+            oc = cfg.occupancy
+            band = (w[:, 2] > oc.z_low) & (w[:, 2] < oc.z_high)
+            self._occ = occupancy_update(
+                self._occ, se3.pose_trans(pose)[:2], w[:, :2], m & band, oc
+            )
+        if cfg.dynamic_carve_knn > 0 and scan_grid is not None:
+            from ..ops.dynamic import carve_dynamic
+
+            # carve the k nearest STORED keyframes with the new scan's
+            # free space (new structure is untouched: carving only fires
+            # where the beam measured a LONGER range than the stored point)
+            ids, _ = self.db.nearest_ids(
+                self.db.map_poses[kf_id, 4:], cfg.dynamic_carve_knn,
+                max_id=kf_id,
+            )
+            elev = np.arctan2(
+                np.asarray(scan_grid.xyz[..., 2]).ravel(),
+                np.maximum(
+                    np.linalg.norm(
+                        np.asarray(scan_grid.xyz[..., :2]).reshape(-1, 2),
+                        axis=-1,
+                    ),
+                    1e-6,
+                ),
+            )
+            gm = np.asarray(scan_grid.mask).ravel()
+            if not gm.any():
+                return
+            elev_min = float(elev[gm].min())
+            elev_max = float(elev[gm].max())
+            # self-calibrated ground level: 5th percentile of the scan's own
+            # map-frame heights + clearance
+            gz = np.asarray(
+                se3.pose_apply(pose, scan_grid.xyz.reshape(-1, 3))
+            )[:, 2]
+            z_min = float(np.percentile(gz[gm], 5.0)) + (
+                cfg.dynamic_carve_ground_clearance
+            )
+            for j in ids:
+                j = int(j)
+                edge_j, surf_j = self.db.keyframe_clouds(j)
+                pose_j = jnp.asarray(self.db.map_poses[j])
+                both = PointBatch(
+                    se3.pose_apply(
+                        pose_j, jnp.concatenate([edge_j.xyz, surf_j.xyz])
+                    ),
+                    jnp.concatenate([edge_j.mask, surf_j.mask]),
+                )
+                keep = np.asarray(
+                    carve_dynamic(
+                        scan_grid, both, pose,
+                        elev_min=elev_min, elev_max=elev_max,
+                        margin=cfg.dynamic_carve_margin,
+                        z_min=z_min,
+                    )
+                )
+                ne = edge_j.xyz.shape[0]
+                self.db.carve(j, keep[:ne], keep[ne:])
+
+    def occupancy_grid(self) -> Optional[jnp.ndarray]:
+        """Current synchronized 2D log-odds grid (None if disabled)."""
+        return self._occ
+
     # -- FSM arrows -----------------------------------------------------------
 
     def _do_relocalization(self, stamp, edge, surf, odom_pose) -> BackendOutput:
@@ -159,7 +274,9 @@ class LifelongBackend:
             self.mode, -1, res.pose, self.odom2map, False, res.score, res.overlap
         )
 
-    def _do_localization(self, stamp, edge, surf, odom_pose) -> BackendOutput:
+    def _do_localization(
+        self, stamp, edge, surf, odom_pose, scan_grid=None
+    ) -> BackendOutput:
         cfg = self.config
         pred = jnp.asarray(self._map_pose(odom_pose))
         map_edge, map_surf = self._knn_local_map(np.asarray(pred)[4:])
@@ -186,6 +303,27 @@ class LifelongBackend:
             # map extension: store the keyframe, link to the nearest node,
             # switch to MAPPING (:355-373)
             map_pose = np.asarray(reg.pose)
+            if cfg.dynamic_gate_unsupported:
+                # entering a mapped region: scan points with no map support
+                # are transients — keep them out of the stored keyframe
+                # (reference README TODO #4's gating half)
+                from ..ops.dynamic import unsupported_mask
+
+                map_all = PointBatch(
+                    jnp.concatenate([map_edge.xyz, map_surf.xyz]),
+                    jnp.concatenate([map_edge.mask, map_surf.mask]),
+                )
+                pose_j = jnp.asarray(map_pose)
+                edge = PointBatch(
+                    edge.xyz,
+                    edge.mask & ~unsupported_mask(edge, map_all, pose_j),
+                    edge.attr,
+                )
+                surf = PointBatch(
+                    surf.xyz,
+                    surf.mask & ~unsupported_mask(surf, map_all, pose_j),
+                    surf.attr,
+                )
             kf_id = self.db.add_keyframe(stamp, odom_pose, map_pose, edge, surf)
             nn_ids, _ = self.db.nearest_ids(map_pose[4:], 1, max_id=kf_id)
             nearest = int(nn_ids[0])
@@ -197,6 +335,7 @@ class LifelongBackend:
                 np.array([cfg.odom_noise_rot] * 3 + [cfg.odom_noise_trans] * 3),
             )
             self._pending += 1
+            self._on_keyframe_stored(kf_id, scan_grid)
             self._set_odom2map(map_pose, odom_pose)
             self.mode = WorkMode.MAPPING
             return BackendOutput(
@@ -210,7 +349,9 @@ class LifelongBackend:
             score, overlap,
         )
 
-    def _do_mapping(self, stamp, edge, surf, odom_pose, gnss_pos=None) -> BackendOutput:
+    def _do_mapping(
+        self, stamp, edge, surf, odom_pose, gnss_pos=None, scan_grid=None
+    ) -> BackendOutput:
         cfg = self.config
         map_pose = self._map_pose(odom_pose)
         kf_id = self.db.add_keyframe(
@@ -225,6 +366,7 @@ class LifelongBackend:
                 np.array([cfg.odom_noise_rot] * 3 + [cfg.odom_noise_trans] * 3),
             )
         self._pending += 1
+        self._on_keyframe_stored(kf_id, scan_grid)
 
         loop = self.loop_detector.detect(self.db, kf_id, edge, surf)
         loop_closed = loop is not None
@@ -239,6 +381,11 @@ class LifelongBackend:
             if loop_closed:
                 # revisiting mapped area → auto-switch to localization (:421-426)
                 self.mode = WorkMode.LOCALIZATION
+                if self._occ is not None:
+                    # graph poses moved: rebuild the synchronized grid
+                    self._occ = occupancy_from_database(
+                        self.db, cfg.occupancy
+                    )
         return BackendOutput(
             self.mode, kf_id, np.asarray(map_pose), self.odom2map, loop_closed,
             np.nan, np.nan,
@@ -248,10 +395,12 @@ class LifelongBackend:
 
     def add_keyframe(
         self, stamp: float, edge: PointBatch, surf: PointBatch, odom_pose,
-        gnss_pos=None,
+        gnss_pos=None, scan_grid=None,
     ) -> BackendOutput:
         """``gnss_pos``: optional (3,) absolute position observation (map/ENU
-        frame) attached to this keyframe as a graph prior."""
+        frame) attached to this keyframe as a graph prior. ``scan_grid``:
+        optional organized range image of the keyframe's scan (sensor frame)
+        — enables dynamic-object carving of contradicted map points."""
         if stamp < self.last_stamp:
             # timestamp disorder guard (:131-139): drop the keyframe
             return BackendOutput(
@@ -263,8 +412,13 @@ class LifelongBackend:
         if self.mode is WorkMode.RELOCALIZATION:
             return self._do_relocalization(stamp, edge, surf, odom_pose)
         if self.mode is WorkMode.LOCALIZATION:
-            return self._do_localization(stamp, edge, surf, odom_pose)
-        return self._do_mapping(stamp, edge, surf, odom_pose, gnss_pos=gnss_pos)
+            return self._do_localization(
+                stamp, edge, surf, odom_pose, scan_grid=scan_grid
+            )
+        return self._do_mapping(
+            stamp, edge, surf, odom_pose, gnss_pos=gnss_pos,
+            scan_grid=scan_grid,
+        )
 
     def optimize(self, full: bool = True):
         """Batch GN; write poses back (`mapping()`/`optimize()`
@@ -302,6 +456,25 @@ class LifelongBackend:
                 # disagrees with the GNSS fixes (relocalized / merged /
                 # long-drifted sessions), so free every vertex
                 fixed = jnp.zeros(g.poses.shape[0], bool)
+        cad = self.config.plane_constraint_every
+        if cad > 0:
+            ids = np.arange(0, self.db.n_keyframes, cad, dtype=np.int32)
+            K = 1 << max(int(ids.size) - 1, 0).bit_length()
+            pl_idx = np.zeros(K, np.int32)
+            pl_mask = np.zeros(K, bool)
+            pl_idx[: ids.size] = ids
+            pl_mask[: ids.size] = True
+            sw = np.array(
+                [1.0 / self.config.plane_std_z]
+                + [1.0 / self.config.plane_std_rp] * 2,
+                np.float32,
+            )
+            priors.update(
+                plane_idx=jnp.asarray(pl_idx),
+                plane_z=jnp.full(K, self.config.plane_z, jnp.float32),
+                plane_sqrtw=jnp.broadcast_to(jnp.asarray(sw), (K, 3)),
+                plane_mask=jnp.asarray(pl_mask),
+            )
         poses, stats = optimize_pose_graph(
             g.poses, g.vmask, g.edges_ij, g.edges_z, g.edges_sqrtw, g.emask,
             fixed=fixed,

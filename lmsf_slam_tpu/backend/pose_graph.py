@@ -94,40 +94,77 @@ def optimize_pose_graph(
     prior_idx: jax.Array | None = None,  # (K,) vertex ids
     prior_sqrtw: jax.Array | None = None,  # (K,3)
     prior_mask: jax.Array | None = None,  # (K,)
+    qprior_quat: jax.Array | None = None,  # (K,4) absolute orientation priors
+    qprior_idx: jax.Array | None = None,  # (K,) vertex ids
+    qprior_sqrtw: jax.Array | None = None,  # (K,3)
+    qprior_mask: jax.Array | None = None,  # (K,)
+    plane_idx: jax.Array | None = None,  # (K,) vertex ids on the floor plane
+    plane_z: jax.Array | None = None,  # (K,) plane height per constraint
+    plane_sqrtw: jax.Array | None = None,  # (K,3) [z, roll-pitch, roll-pitch]
+    plane_mask: jax.Array | None = None,  # (K,)
     params: PoseGraphParams = PoseGraphParams(),
 ):
     """Batch GN/LM solve. Returns (optimized_poses, PoseGraphStats).
 
-    ``prior_*``: optional absolute-position unary factors — the reference's
-    `AddSe3PriorXYZEdge` (GNSS constraints, `graph_optimization.hpp:19-47`,
-    g2o edge `inc/g2o/edge_se3_priorxyz.hpp`). With priors the graph is
-    globally anchored, so pass ``fixed`` of all-False to let every vertex
-    move (the default still gauge-fixes vertex 0 for odometry-only graphs).
+    Unary factors (all optional, padded + masked):
+
+    - ``prior_*``: absolute-position priors — the reference's
+      `AddSe3PriorXYZEdge` (GNSS constraints, `graph_optimization.hpp:19-47`,
+      g2o edge `inc/g2o/edge_se3_priorxyz.hpp`).
+    - ``qprior_*``: absolute-orientation priors — the reference's
+      `AddSe3PriorQuaternionEdge` (`graph_optimization.hpp:39-41`, g2o edge
+      `edge_se3_priorquat.hpp`); residual = log(q_meas⁻¹ ⊗ q).
+    - ``plane_*``: floor/plane factors — the reference's plane-constraint
+      cadence (`backend_lifelong.hpp:513-521`, g2o plane-prior edges);
+      residual = [p_z − z_ref, a_x, a_y] with a = R·e_z, i.e. height above
+      the plane plus roll/pitch deviation from plane-normal alignment.
+
+    With any absolute factor the graph is anchored, so pass ``fixed`` of
+    all-False to let every vertex move (the default still gauge-fixes
+    vertex 0 for odometry-only graphs).
     """
     V = poses.shape[0]
     if fixed is None:
         fixed = jnp.zeros(V, bool).at[0].set(True)
-    has_priors = prior_xyz is not None
-    if not has_priors:
-        prior_xyz = jnp.zeros((1, 3))
-        prior_idx = jnp.zeros(1, jnp.int32)
-        prior_sqrtw = jnp.zeros((1, 3))
-        prior_mask = jnp.zeros(1, bool)
     free = vmask & ~fixed
     i_idx = edges_ij[:, 0]
     j_idx = edges_ij[:, 1]
 
-    def prior_res_jac(pose, z, sqrtw):
-        def h(x):
-            return (se3.pose_retract(pose, x)[4:] - z) * sqrtw
+    def xyz_res(pose, z, sqrtw, x):
+        return (se3.pose_retract(pose, x)[4:] - z) * sqrtw
 
-        return h(jnp.zeros(6)), jax.jacfwd(h)(jnp.zeros(6))  # (3,), (3,6)
+    def quat_res(pose, z, sqrtw, x):
+        q = se3.pose_quat(se3.pose_retract(pose, x))
+        return se3.so3_log(se3.quat_mul(se3.quat_conj(z), q)) * sqrtw
+
+    def plane_res(pose, z, sqrtw, x):
+        p = se3.pose_retract(pose, x)
+        a = se3.quat_rotate(se3.pose_quat(p), jnp.asarray([0.0, 0.0, 1.0]))
+        return jnp.stack([p[6] - z, a[0], a[1]]) * sqrtw
+
+    # unary factor groups: (residual fn, measurement, sqrtw, idx, mask)
+    unary = []
+    if prior_xyz is not None:
+        unary.append((xyz_res, prior_xyz, prior_sqrtw, prior_idx, prior_mask))
+    if qprior_quat is not None:
+        unary.append((quat_res, qprior_quat, qprior_sqrtw, qprior_idx, qprior_mask))
+    if plane_idx is not None:
+        unary.append((plane_res, plane_z, plane_sqrtw, plane_idx, plane_mask))
+
+    def unary_res_jac(fn, pose, z, sqrtw):
+        r = fn(pose, z, sqrtw, jnp.zeros(6))
+        J = jax.jacfwd(lambda x: fn(pose, z, sqrtw, x))(jnp.zeros(6))
+        return r, J  # (3,), (3,6)
 
     def chi2_of(p):
         r = jax.vmap(edge_residual)(p[i_idx], p[j_idx], edges_z) * edges_sqrtw
         c = jnp.sum(jnp.where(emask, jnp.sum(r * r, -1), 0.0))
-        rp, _ = jax.vmap(prior_res_jac)(p[prior_idx], prior_xyz, prior_sqrtw)
-        return c + jnp.sum(jnp.where(prior_mask, jnp.sum(rp * rp, -1), 0.0))
+        for fn, z, sw, idx, msk in unary:
+            ru = jax.vmap(lambda pp, zz, ss: fn(pp, zz, ss, jnp.zeros(6)))(
+                p[idx], z, sw
+            )
+            c = c + jnp.sum(jnp.where(msk, jnp.sum(ru * ru, -1), 0.0))
+        return c
 
     def gn_step(carry, _):
         p, done, iters = carry
@@ -139,12 +176,13 @@ def optimize_pose_graph(
         r2 = jnp.sum(r * r, axis=-1)
         w = _robust_weight(r2, params.kernel, params.kernel_delta) * emask  # (E,)
 
-        # unary position-prior linearization
-        rp, Jp = jax.vmap(prior_res_jac)(
-            p[prior_idx], prior_xyz, prior_sqrtw
-        )
-        Jp = Jp * prior_mask[:, None, None]
-        rp = rp * prior_mask[:, None]
+        # unary factor linearizations: [(r (K,3), J (K,3,6), idx (K,))]
+        lin = []
+        for fn, z, sw, idx, msk in unary:
+            ru, Ju = jax.vmap(lambda pp, zz, ss: unary_res_jac(fn, pp, zz, ss))(
+                p[idx], z, sw
+            )
+            lin.append((ru * msk[:, None], Ju * msk[:, None, None], idx))
 
         def matvec(x):  # x: (V, 6)
             y = jnp.einsum("eab,eb->ea", Ji, x[i_idx]) + jnp.einsum(
@@ -156,10 +194,11 @@ def optimize_pose_graph(
             out = jax.ops.segment_sum(gi, i_idx, num_segments=V) + jax.ops.segment_sum(
                 gj, j_idx, num_segments=V
             )
-            yp = jnp.einsum("kab,kb->ka", Jp, x[prior_idx])
-            out = out + jax.ops.segment_sum(
-                jnp.einsum("kab,ka->kb", Jp, yp), prior_idx, num_segments=V
-            )
+            for ru, Ju, idx in lin:
+                yu = jnp.einsum("kab,kb->ka", Ju, x[idx])
+                out = out + jax.ops.segment_sum(
+                    jnp.einsum("kab,ka->kb", Ju, yu), idx, num_segments=V
+                )
             out = out + params.damping * x
             return jnp.where(free[:, None], out, 0.0)
 
@@ -168,9 +207,10 @@ def optimize_pose_graph(
         g = jax.ops.segment_sum(
             jnp.einsum("eab,ea->eb", Ji, wr), i_idx, num_segments=V
         ) + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", Jj, wr), j_idx, num_segments=V)
-        g = g + jax.ops.segment_sum(
-            jnp.einsum("kab,ka->kb", Jp, rp), prior_idx, num_segments=V
-        )
+        for ru, Ju, idx in lin:
+            g = g + jax.ops.segment_sum(
+                jnp.einsum("kab,ka->kb", Ju, ru), idx, num_segments=V
+            )
         g = jnp.where(free[:, None], g, 0.0)
 
         # block-Jacobi preconditioner: per-vertex 6×6 diagonal blocks of H
@@ -179,9 +219,10 @@ def optimize_pose_graph(
         M = jax.ops.segment_sum(Bi, i_idx, num_segments=V) + jax.ops.segment_sum(
             Bj, j_idx, num_segments=V
         )
-        M = M + jax.ops.segment_sum(
-            jnp.einsum("kab,kac->kbc", Jp, Jp), prior_idx, num_segments=V
-        )
+        for ru, Ju, idx in lin:
+            M = M + jax.ops.segment_sum(
+                jnp.einsum("kab,kac->kbc", Ju, Ju), idx, num_segments=V
+            )
         M = M + (params.damping + 1e-6) * jnp.eye(6)
         Minv = jnp.linalg.inv(M)
 

@@ -20,6 +20,14 @@ PROCESSED = "processed"
 EDGE = "edge"
 SURF = "surf"
 
+# Named per-point attribute slots (PointBatch.attr columns). Slot 0 is the
+# relative sweep time in [0, 1) — the deskew input — and intensity lives in
+# slot 1, so an ingest path can never hand intensity to the deskewer (the
+# reference smuggles rel-time through the PCL intensity channel,
+# `RotaryLidar_preprocessing.hpp:100-104`; here the slots are explicit).
+ATTR_TIME = 0
+ATTR_INTENSITY = 1
+
 
 @jax.tree_util.register_pytree_node_class
 class PointBatch:
@@ -28,8 +36,10 @@ class PointBatch:
     Attributes:
       xyz:  (N, 3) float32 — padded with zeros beyond ``count``.
       mask: (N,) bool — True for valid points.
-      attr: (N, A) float32 — per-point attributes (intensity, rel-time, ring…)
-            A may be 0.
+      attr: (N, A) float32 — per-point attributes, A may be 0. Slots are
+            NAMED (``ATTR_TIME``/``ATTR_INTENSITY``): slot 0 is always the
+            relative sweep time, never intensity — consumers like the LIO
+            deskew read attr[:, ATTR_TIME] and must not be fed intensity.
     """
 
     def __init__(self, xyz: jax.Array, mask: jax.Array, attr: jax.Array | None = None):

@@ -28,14 +28,24 @@ KITTI_SCAN_CAPACITY = 131072  # 2^17 ≥ any HDL-64 scan (~120k returns)
 def read_velodyne_bin(
     path: str, capacity: int = KITTI_SCAN_CAPACITY
 ) -> PointBatch:
-    """One KITTI velodyne scan → padded PointBatch (intensity as attr).
+    """One KITTI velodyne scan → padded PointBatch.
+
+    attr follows the named schema (`common.pointcloud.ATTR_TIME/-INTENSITY`):
+    slot 0 carries the azimuth-derived relative sweep time (the reference's
+    rotary preprocess, `RotaryLidar_preprocessing.hpp:77-91` — HDL-64 spins
+    clockwise, one revolution per scan), slot 1 the return intensity, so the
+    LIO deskew path is active on real KITTI data and can never consume
+    intensity as time.
 
     Uses the native C++ reader when built (lmsf_slam_tpu.native), falling
     back to numpy."""
     from ..native import read_f32
 
     raw = read_f32(path).reshape(-1, 4)
-    return PointBatch.from_points(raw[:, :3], capacity, attr=raw[:, 3:4])
+    az = np.arctan2(raw[:, 1], raw[:, 0])
+    rel_time = np.mod(az[0] - az, 2.0 * np.pi) / (2.0 * np.pi)
+    attr = np.stack([rel_time.astype(np.float32), raw[:, 3]], axis=1)
+    return PointBatch.from_points(raw[:, :3], capacity, attr=attr)
 
 
 def read_calib(path: str) -> np.ndarray:

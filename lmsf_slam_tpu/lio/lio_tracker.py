@@ -124,11 +124,13 @@ class LioTracker:
                 self.failures += 1
             prediction = se3.make_pose(self.eskf.q, self.eskf.p)
             if cfg.deskew_enabled and edge.attr.shape[-1] > 0:
+                from ..common.pointcloud import ATTR_TIME
+
                 motion = se3.pose_between(
                     jnp.asarray(self.prev_pose), prediction
                 )
-                edge = deskew(edge, edge.attr[:, 0], motion)
-                surf = deskew(surf, surf.attr[:, 0], motion)
+                edge = deskew(edge, edge.attr[:, ATTR_TIME], motion)
+                surf = deskew(surf, surf.attr[:, ATTR_TIME], motion)
 
         self.tracker_state, out = tracker_step(
             self.tracker_state, edge, surf, jnp.float32(timestamp),

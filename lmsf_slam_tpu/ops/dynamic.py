@@ -35,8 +35,24 @@ def carve_dynamic(
     elev_max: float = 0.26,
     margin: float = 0.3,  # m: beam must overshoot the point by this much
     min_range: float = 1.0,
+    rel_margin: float = 0.05,  # + this fraction of range (quantization slack)
+    z_min: float = 0.3,  # map-frame ground exclusion band
 ) -> jax.Array:
-    """(M,) keep-mask over ``map_pb``: False = contradicted by free space."""
+    """(M,) keep-mask over ``map_pb``: False = contradicted by free space.
+
+    Carving is deliberately conservative (false positives delete real map
+    structure, removert's central failure mode):
+
+    - **ground exclusion** (``z_min``): near-ground points are never carved —
+      rays graze the ground, so a ±half-ring elevation quantization error
+      moves the expected ground range by meters and any absolute test
+      false-fires;
+    - **support test**: if ANY beam in the point's 3×3 (ring, azimuth)
+      neighborhood measured ≈ the point's range, something is still there
+      (protects thin pillars the quantized center column misses);
+    - **range-adaptive margin**: overshoot must exceed
+      ``margin + rel_margin·range`` (quantization error grows with range).
+    """
     R, W = grid.rng.shape
     # map points in the sensor frame
     local = se3.pose_apply(se3.pose_inverse(sensor_pose), map_pb.xyz)
@@ -49,12 +65,29 @@ def carve_dynamic(
     in_fov = (
         (ring >= 0) & (ring <= R - 1) & (rng > min_range)
         & map_pb.mask
+        & (map_pb.xyz[:, 2] > z_min)
     )
     ring_i = jnp.clip(ring, 0, R - 1).astype(jnp.int32)
     col_i = jnp.clip(col, 0, W - 1).astype(jnp.int32)
+    tol = margin + rel_margin * rng
+    # support tolerance is tighter than the carve tolerance: a beam "sees"
+    # the point only if it measured essentially the point's range (sensor
+    # noise + on-surface quantization shift), whereas carving must clear the
+    # full cross-ring aliasing budget
+    sup_tol = margin + 0.02 * rng
+    supported = jnp.zeros(rng.shape, bool)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            r_i = jnp.clip(ring_i + dr, 0, R - 1)
+            c_i = (col_i + dc) % W  # azimuth wraps
+            v = grid.mask[r_i, c_i]
+            m = grid.rng[r_i, c_i]
+            supported = supported | (v & (jnp.abs(m - rng) <= sup_tol))
     measured = grid.rng[ring_i, col_i]
     cell_valid = grid.mask[ring_i, col_i]
-    seen_through = in_fov & cell_valid & (measured > rng + margin)
+    seen_through = (
+        in_fov & cell_valid & ~supported & (measured > rng + tol)
+    )
     return ~seen_through
 
 

@@ -55,6 +55,16 @@ def system_config_from_dict(doc: dict) -> SystemConfig:
     ):
         if deg_key in doc:
             doc[rad_key] = math.radians(float(doc.pop(deg_key)))
+    # optional nested blocks whose default is None (can't be introspected)
+    lifelong = doc.get("lifelong")
+    if isinstance(lifelong, dict) and isinstance(lifelong.get("occupancy"), dict):
+        from ..mapping.occupancy import OccupancyConfig
+
+        lifelong = dict(lifelong)
+        lifelong["occupancy"] = _merge(
+            OccupancyConfig(), lifelong["occupancy"], "lifelong.occupancy."
+        )
+        doc["lifelong"] = lifelong
     return _merge(SystemConfig(), doc)
 
 

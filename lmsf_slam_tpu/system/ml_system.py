@@ -264,7 +264,11 @@ class MultiLidarSystem:
     # -- per-frame pipeline ---------------------------------------------------
 
     def featurize(self, scan: PointBatch):
-        """Raw scan → (edge, surf) feature PointBatches (sensor frame)."""
+        """Raw scan → (edge, surf, range-image grid) in the sensor frame.
+
+        The grid rides along so the backend can carve dynamic points with
+        the scan's free space; it is None on the ICP path unless carving is
+        enabled."""
         cfg = self.config.feature
         processed = preprocess(scan, self.config.preprocess)
         if self.config.registration_method == "sparse_point_plane_icp":
@@ -273,7 +277,10 @@ class MultiLidarSystem:
             surf = voxel_downsample(
                 processed, self.config.icp_voxel_size, cfg.surf_capacity
             )
-            return PointBatch.empty(cfg.edge_capacity), surf
+            grid = None
+            if self.backend.config.dynamic_carve_knn > 0:
+                grid = F.organize_scan(processed, rings=cfg.rings, width=cfg.width)
+            return PointBatch.empty(cfg.edge_capacity), surf, grid
         grid = F.organize_scan(processed, rings=cfg.rings, width=cfg.width)
         feats = F.extract_loam_features(
             grid,
@@ -284,7 +291,7 @@ class MultiLidarSystem:
             surf_thresh=cfg.surf_thresh,
             nms_half=cfg.nms_half,
         )
-        return feats.edge, feats.surf
+        return feats.edge, feats.surf, grid
 
     def _pad_to_fused(self, edge: PointBatch, surf: PointBatch):
         """Pad single-lidar features to the fused tracker capacity."""
@@ -302,7 +309,7 @@ class MultiLidarSystem:
         step so ``pose_p`` is the current-frame primary pose — sub scans and
         the primary pose must be time-aligned for hand-eye increments)."""
         cfg = self.config
-        for i, (se_, ss_) in enumerate(feats[1:]):
+        for i, (se_, ss_, _) in enumerate(feats[1:]):
             if self.calib_status == 0:
                 # phase 0: independent sub odometry + hand-eye accumulation
                 self._sub_trackers[i], sub_out = tracker_step(
@@ -393,11 +400,12 @@ class MultiLidarSystem:
         )
         feats = [self.featurize(s) for s in scans]
 
+        scan_grid = feats[0][2]  # primary scan's range image (for carving)
         if self.calib_status == 2 and len(feats) > 1:
             # fused multi-lidar frame: sub features → primary sensor frame
             edges = [feats[0][0]]
             surfs = [feats[0][1]]
-            for i, (se_, ss_) in enumerate(feats[1:]):
+            for i, (se_, ss_, _) in enumerate(feats[1:]):
                 x = jnp.asarray(self.extrinsics[i])
                 edges.append(se_.transform(x))
                 surfs.append(ss_.transform(x))
@@ -407,7 +415,7 @@ class MultiLidarSystem:
             surf = pb_concat(surfs, capacity=n * f.surf_capacity)
         else:
             # calibration phases track the primary alone
-            edge, surf = self._pad_to_fused(*feats[0])
+            edge, surf = self._pad_to_fused(feats[0][0], feats[0][1])
 
         if self._lio is not None:
             odom_pose, out = self._lio.process_scan(
@@ -430,15 +438,22 @@ class MultiLidarSystem:
         if is_kf:
             gnss = self._pending_gnss
             self._pending_gnss = None
+            grid_kw = (
+                scan_grid
+                if self.backend.config.dynamic_carve_knn > 0
+                else None
+            )
             if self._async is not None:
                 # enqueue only: corrections arrive via the published odom2map;
-                # GNSS priors ride the queue with the keyframe
+                # GNSS priors and the scan grid ride the queue
                 odom2map, mode = self._async.submit(
-                    timestamp, edge, surf, odom_pose, gnss_pos=gnss
+                    timestamp, edge, surf, odom_pose, gnss_pos=gnss,
+                    scan_grid=grid_kw,
                 )
             else:
                 backend_out = self.backend.add_keyframe(
-                    timestamp, edge, surf, odom_pose, gnss_pos=gnss
+                    timestamp, edge, surf, odom_pose, gnss_pos=gnss,
+                    scan_grid=grid_kw,
                 )
 
         if self._async is not None:
@@ -493,6 +508,12 @@ class MultiLidarSystem:
             _, idx = np.unique(keys, axis=0, return_index=True)
             pts = pts[idx]
         return pts
+
+    def occupancy_grid(self):
+        """Synchronized 2D log-odds occupancy grid (None unless enabled via
+        ``LifelongConfig.occupancy``) — reference README TODO #3."""
+        self.flush()
+        return self.backend.occupancy_grid()
 
     def force_global_optimize(self):
         if self._async is not None:

@@ -59,8 +59,17 @@ def test_velodyne_reader(tmp_path):
     assert int(pb.count()) == 200
     np.testing.assert_allclose(np.asarray(pb.xyz[:200]), scans[0][:, :3],
                                rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(pb.attr[:200, 0]), scans[0][:, 3],
-                               rtol=1e-6)
+    # named attr schema: slot 0 = azimuth-derived relative sweep time,
+    # slot 1 = intensity (deskew can never read intensity as time)
+    from lmsf_slam_tpu.common.pointcloud import ATTR_INTENSITY, ATTR_TIME
+
+    t = np.asarray(pb.attr[:200, ATTR_TIME])
+    assert t.min() >= 0.0 and t.max() < 1.0 and t.std() > 0.05
+    az = np.arctan2(scans[0][:, 1], scans[0][:, 0])
+    expect = np.mod(az[0] - az, 2 * np.pi) / (2 * np.pi)
+    np.testing.assert_allclose(t, expect, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pb.attr[:200, ATTR_INTENSITY]),
+                               scans[0][:, 3], rtol=1e-6)
 
 
 def test_sequence_iteration_and_gt(tmp_path):

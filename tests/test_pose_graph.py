@@ -127,3 +127,117 @@ def test_gnss_position_priors_anchor_graph():
     err = np.linalg.norm(np.asarray(poses)[:, 4:] - np.asarray(gt)[:, 4:], axis=1)
     assert err.max() < 0.05, err
     assert float(stats.chi2_final) < 1e-3
+
+
+def test_quaternion_priors_anchor_orientation():
+    """Absolute orientation priors (the reference's AddSe3PriorQuaternionEdge,
+    `graph_optimization.hpp:39-41`, declared but commented out in g2o —
+    active here): with position AND quaternion priors at both ends, a chain
+    with a yaw-drifted initialization recovers full 6-dof ground truth."""
+    V = 10
+    step = se3.se3_exp(jnp.asarray([0, 0, 0.15, 1.0, 0.2, 0], jnp.float32))
+    gt = [se3.pose_identity()]
+    for _ in range(V - 1):
+        gt.append(se3.pose_compose(gt[-1], step))
+    gt = jnp.stack(gt)
+    eij = jnp.asarray([(i, i + 1) for i in range(V - 1)], jnp.int32)
+    ez = jax.vmap(lambda i, j: se3.pose_between(gt[i], gt[j]))(eij[:, 0], eij[:, 1])
+    off = se3.se3_exp(jnp.asarray([0, 0, 0.5, 2.0, -1.0, 0.5], jnp.float32))
+    init = jax.vmap(lambda p: se3.pose_compose(off, p))(gt)
+    pid = jnp.asarray([0, V - 1], jnp.int32)
+    poses, stats = optimize_pose_graph(
+        init, jnp.ones(V, bool), eij, ez, jnp.ones((V - 1, 6)) * 20.0,
+        jnp.ones(V - 1, bool),
+        fixed=jnp.zeros(V, bool),
+        prior_xyz=gt[pid, 4:], prior_idx=pid,
+        prior_sqrtw=jnp.ones((2, 3)) * 10.0, prior_mask=jnp.ones(2, bool),
+        qprior_quat=gt[pid, :4], qprior_idx=pid,
+        qprior_sqrtw=jnp.ones((2, 3)) * 10.0, qprior_mask=jnp.ones(2, bool),
+        params=PoseGraphParams(gn_iters=20, kernel="none"),
+    )
+    perr = np.linalg.norm(np.asarray(poses)[:, 4:] - np.asarray(gt)[:, 4:], axis=1)
+    assert perr.max() < 0.05, perr
+    qerr = [
+        float(jnp.linalg.norm(se3.so3_log(se3.quat_mul(
+            se3.quat_conj(gt[i, :4]), poses[i, :4]))))
+        for i in range(V)
+    ]
+    assert max(qerr) < 0.02, qerr
+
+
+def test_plane_factor_removes_z_and_tilt_drift():
+    """Floor factors (reference plane-constraint hook,
+    `backend_lifelong.hpp:513-521` + g2o plane-prior edges) fix the drift a
+    position prior can't: odometry accumulates z + pitch error on an indoor
+    ground-floor run; plane factors pull every vertex back to z=0 and
+    level attitude while xy stays intact."""
+    V = 20
+    # ground truth: straight level corridor along +x
+    gt = [se3.pose_identity()]
+    step = se3.se3_exp(jnp.asarray([0, 0, 0, 1.0, 0, 0], jnp.float32))
+    for _ in range(V - 1):
+        gt.append(se3.pose_compose(gt[-1], step))
+    gt = jnp.stack(gt)
+    # odometry: the same steps plus a consistent climb + pitch bias —
+    # inherently unobservable from between-edges alone
+    drift = se3.se3_exp(jnp.asarray([0, 0.01, 0, 0, 0, 0.05], jnp.float32))
+    eij = jnp.asarray([(i, i + 1) for i in range(V - 1)], jnp.int32)
+    ez = jnp.stack([np.asarray(se3.pose_compose(step, drift))] * (V - 1))
+    init = [se3.pose_identity()]
+    for k in range(V - 1):
+        init.append(se3.pose_compose(init[-1], jnp.asarray(ez[k])))
+    init = jnp.stack(init)
+    assert abs(float(init[-1, 6])) > 0.5  # the drifted chain leaves the floor
+
+    # only plane factors (every vertex) + gauge on vertex 0
+    poses, _ = optimize_pose_graph(
+        init, jnp.ones(V, bool), eij, ez, jnp.ones((V - 1, 6)) * 5.0,
+        jnp.ones(V - 1, bool),
+        plane_idx=jnp.arange(V, dtype=jnp.int32),
+        plane_z=jnp.zeros(V),
+        plane_sqrtw=jnp.ones((V, 3)) * 20.0,
+        plane_mask=jnp.ones(V, bool),
+        params=PoseGraphParams(gn_iters=20, kernel="none"),
+    )
+    z = np.abs(np.asarray(poses)[:, 6])
+    assert z.max() < 0.05, z
+    # attitude level: R·e_z ≈ e_z everywhere
+    a = jax.vmap(lambda q: se3.quat_rotate(q, jnp.asarray([0.0, 0, 1.0])))(
+        poses[:, :4]
+    )
+    assert float(jnp.abs(a[:, :2]).max()) < 0.03
+    # xy advance preserved (still walks ~1 m per step)
+    x = np.asarray(poses)[:, 4]
+    assert x[-1] > 0.9 * (V - 1)
+
+
+def test_lifelong_plane_cadence():
+    """LifelongConfig.plane_constraint_every wires floor factors into the
+    backend optimize cycle (the reference's cadence hook)."""
+    from lmsf_slam_tpu.backend import (
+        KeyframeDatabase, LifelongBackend, LifelongConfig, LoopConfig,
+    )
+    from lmsf_slam_tpu.common.pointcloud import PointBatch
+
+    rng = np.random.RandomState(3)
+    backend = LifelongBackend(
+        db=KeyframeDatabase(edge_capacity=32, surf_capacity=64),
+        config=LifelongConfig(
+            optimize_batch=10**9, plane_constraint_every=1,
+            plane_std_z=0.02, plane_std_rp=0.02,
+        ),
+        loop_config=LoopConfig(min_frame_interval=10**9),
+    )
+    pose = se3.pose_identity()
+    step = se3.se3_exp(jnp.asarray([0, 0, 0, 1.2, 0, 0.06], jnp.float32))
+    for i in range(12):
+        if i:
+            pose = se3.pose_compose(pose, step)  # climbs ~6 cm per keyframe
+        pb = PointBatch.from_points(
+            rng.randn(32, 3).astype(np.float32), capacity=32)
+        sb = PointBatch.from_points(
+            rng.randn(64, 3).astype(np.float32), capacity=64)
+        backend.add_keyframe(0.5 * i, pb, sb, np.asarray(pose))
+    assert backend.db.map_poses[:12, 6].max() > 0.4  # drifted before solve
+    backend.force_global_optimize()
+    assert np.abs(backend.db.map_poses[:12, 6]).max() < 0.05
