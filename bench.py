@@ -1,16 +1,29 @@
-"""Headline benchmark: end-to-end SLAM frontend frames/s on one chip.
+"""North-star benchmarks on one TPU chip (BASELINE.json metrics).
 
-Measures the full per-frame hot path on structured, simulator-generated
-scans (not random blobs): range-image organization → LOAM feature
-extraction → constant-velocity predict → fused edge/surf Gauss-Newton
-scan-to-local-map registration → branchless local-map update — i.e. the
-work the reference's scan-to-map frontend does in mean 105.9 ms/frame on
-its CPU (BASELINE.md, `slam_data/time/times_scan_map.csv`), at VLP-16
-scale (16×1800 range image, 10 GN iterations, 20-scan local map).
+Measures, end to end on real simulator-generated scans (not random blobs):
 
-The whole step is ONE jitted XLA program; scans are pre-generated on device
-and excluded from timing. Prints ONE JSON line:
-{"metric", "value", "unit", "vs_baseline"}.
+1. ``frontend_fps_per_chip`` (headline): the full per-frame hot path —
+   range-image organization → LOAM feature extraction → constant-velocity
+   predict → fused edge/surf Gauss-Newton scan-to-local-map registration →
+   branchless local-map update — the work the reference's scan-to-map
+   frontend does in mean 105.9 ms/frame on its CPU (BASELINE.md,
+   `slam_data/time/times_scan_map.csv`), at VLP-16 scale (16×1800 range
+   image, 10 GN iterations, 20-scan local map).
+2. ``registration_fps``: standalone fused-GN edge/surf registration at
+   VLP-16 and HDL-64 feature sizes (BASELINE.json metric #2), vs the
+   reference's scan-to-scan envelope (mean 55.5 ms,
+   `slam_data/time/times_scan_scan.csv`).
+3. ``posegraph_ms``: full robust pose-graph GN solve on a 1905-vertex graph
+   (the reference's published trajectory length, ground_truth.txt) with
+   odometry + loop edges — the work g2o's ≤512-iteration LM does in its
+   mapping thread (`graph_optimization_g2o.cpp:52-80`; no CPU number
+   published, so vs_baseline is omitted for this one).
+4. ``e2e_system_fps``: the full public `MultiLidarSystem.process()` loop —
+   featurize → track → keyframe gate → synchronous lifelong backend.
+
+Prints ONE JSON line: the headline metric in the driver schema
+{"metric", "value", "unit", "vs_baseline"} with the other metrics under
+"extras".
 """
 import json
 import time
@@ -22,10 +35,11 @@ import numpy as np
 from lmsf_slam_tpu.common import se3
 from lmsf_slam_tpu.datasets import make_sim_world, make_trajectory, simulate_scan
 from lmsf_slam_tpu.ops import features as F
-from lmsf_slam_tpu.ops.registration import RegistrationParams
+from lmsf_slam_tpu.ops.registration import RegistrationParams, register_edge_surf
 from lmsf_slam_tpu.tracker.tracker import TrackerConfig, tracker_init, tracker_step
 
-BASELINE_FPS = 1000.0 / 105.9  # reference scan-to-map mean latency
+BASELINE_SCAN_MAP_MS = 105.9  # reference scan-to-map mean latency
+BASELINE_SCAN_SCAN_MS = 55.5  # reference scan-to-scan mean latency
 
 RINGS, WIDTH = 16, 1800  # VLP-16 @ 10 Hz
 SECTORS, EDGES_PS, SURFS_PS = 6, 20, 40  # → 1920 edge / 3840 surf per scan
@@ -47,13 +61,7 @@ def make_step(config: TrackerConfig):
     return step
 
 
-def main():
-    key = jax.random.PRNGKey(0)
-    world = make_sim_world(key, extent=30.0, n_boxes=14, n_cylinders=24)
-    traj = np.array(make_trajectory(N_FRAMES + N_WARM, radius=9.0, loop=False))
-    traj[:, 6] = 1.4
-    traj = jnp.asarray(traj)
-
+def bench_frontend(world, traj, key):
     scans = [
         simulate_scan(world, traj[i], jax.random.fold_in(key, i),
                       rings=RINGS, width=WIDTH, max_range=60.0, noise=0.01)
@@ -80,14 +88,163 @@ def main():
             state, scans[N_WARM + i], jnp.float32(0.1 * (N_WARM + i))
         )
     jax.block_until_ready(pose)
-    dt = time.perf_counter() - t0
+    return N_FRAMES / (time.perf_counter() - t0)
 
-    fps = N_FRAMES / dt
+
+def bench_registration(world, traj, key):
+    """Standalone registration fps at VLP-16 and HDL-64 feature scales."""
+    out = {}
+    for name, (rings, width, eps, sps) in {
+        "vlp16": (16, 1800, 20, 40),
+        "hdl64": (64, 1800, 20, 40),
+    }.items():
+        scan_a = simulate_scan(world, traj[0], jax.random.fold_in(key, 100),
+                               rings=rings, width=width, max_range=60.0,
+                               noise=0.01)
+        scan_b = simulate_scan(world, traj[1], jax.random.fold_in(key, 101),
+                               rings=rings, width=width, max_range=60.0,
+                               noise=0.01)
+
+        @jax.jit
+        def reg(a, b):
+            ga = F.organize_scan(a, rings=rings, width=width)
+            gb = F.organize_scan(b, rings=rings, width=width)
+            fa = F.extract_loam_features(
+                ga, sectors=6, edges_per_sector=eps, surfs_per_sector=sps)
+            fb = F.extract_loam_features(
+                gb, sectors=6, edges_per_sector=eps, surfs_per_sector=sps)
+            res = register_edge_surf(
+                fb.edge, fb.surf, fa.edge, fa.surf,
+                init_pose=se3.pose_identity(),
+                params=RegistrationParams(max_iters=10),
+            )
+            return res.pose
+
+        pose = reg(scan_a, scan_b)
+        jax.block_until_ready(pose)
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            pose = reg(scan_a, scan_b)
+        jax.block_until_ready(pose)
+        out[name] = n / (time.perf_counter() - t0)
+    return out
+
+
+def bench_posegraph():
+    """1905-vertex (reference trajectory length) robust GN solve."""
+    from lmsf_slam_tpu.backend.pose_graph import (
+        PoseGraphParams, optimize_pose_graph,
+    )
+
+    rng = np.random.default_rng(0)
+    V = 1905
+    step = se3.se3_exp(jnp.asarray([0, 0, 0.04, 1.2, 0, 0], jnp.float32))
+    gt = [se3.pose_identity()]
+    for _ in range(V - 1):
+        gt.append(se3.pose_compose(gt[-1], step))
+    gt = jnp.stack(gt)
+    eij, ez = [], []
+    for i in range(V - 1):
+        z = se3.pose_between(gt[i], gt[i + 1])
+        pert = jnp.asarray(rng.normal(0, 0.02, 6), jnp.float32)
+        eij.append((i, i + 1))
+        ez.append(se3.pose_compose(z, se3.se3_exp(pert)))
+    for _ in range(96):  # ~5% loop closures, reference-style revisit graph
+        i = int(rng.integers(0, V - 200))
+        j = int(rng.integers(i + 100, V))
+        eij.append((i, j))
+        ez.append(se3.pose_between(gt[i], gt[j]))
+    eij = jnp.asarray(eij, jnp.int32)
+    ez = jnp.stack(ez)
+    init = [gt[0]]
+    for e in range(V - 1):
+        init.append(se3.pose_compose(init[-1], ez[e]))
+    init = jnp.stack(init)
+    E = eij.shape[0]
+    sqrtw = jnp.ones((E, 6), jnp.float32) * 20.0
+    emask = jnp.ones(E, bool)
+    params = PoseGraphParams(gn_iters=12, pcg_iters=64)
+
+    out, stats = optimize_pose_graph(
+        init, jnp.ones(V, bool), eij, ez, sqrtw, emask, params=params)
+    jax.block_until_ready(out)
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out, stats = optimize_pose_graph(
+            init, jnp.ones(V, bool), eij, ez, sqrtw, emask, params=params)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    return ms, float(stats.chi2_initial), float(stats.chi2_final)
+
+
+def bench_system(world, traj, key):
+    """Public System.process() loop with the synchronous backend inline."""
+    from lmsf_slam_tpu.system.ml_system import (
+        FeatureParams, MultiLidarSystem, SystemConfig,
+    )
+
+    config = SystemConfig(
+        feature=FeatureParams(
+            rings=RINGS, width=WIDTH, sectors=SECTORS,
+            edges_per_sector=EDGES_PS, surfs_per_sector=SURFS_PS,
+        ),
+        registration=RegistrationParams(max_iters=10),
+    )
+    system = MultiLidarSystem(config)
+    scans = [
+        simulate_scan(world, traj[i], jax.random.fold_in(key, i),
+                      rings=RINGS, width=WIDTH, max_range=60.0, noise=0.01)
+        for i in range(N_WARM + N_FRAMES)
+    ]
+    jax.block_until_ready(scans[-1].xyz)
+    for i in range(N_WARM):
+        system.process(scans[i], 0.1 * i)
+    t0 = time.perf_counter()
+    for i in range(N_FRAMES):
+        system.process(scans[N_WARM + i], 0.1 * (N_WARM + i))
+    dt = time.perf_counter() - t0
+    system.flush()
+    return N_FRAMES / dt
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    world = make_sim_world(key, extent=30.0, n_boxes=14, n_cylinders=24)
+    traj = np.array(make_trajectory(N_FRAMES + N_WARM, radius=9.0, loop=False))
+    traj[:, 6] = 1.4
+    traj = jnp.asarray(traj)
+
+    fps = bench_frontend(world, traj, key)
+    reg = bench_registration(world, traj, key)
+    pg_ms, chi2_0, chi2_1 = bench_posegraph()
+    sys_fps = bench_system(world, traj, key)
+
+    baseline_fps = 1000.0 / BASELINE_SCAN_MAP_MS
     print(json.dumps({
         "metric": "frontend_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "vs_baseline": round(fps / baseline_fps, 2),
+        "extras": {
+            "registration_fps_vlp16": {
+                "value": round(reg["vlp16"], 2), "unit": "frames/s",
+                "vs_baseline": round(
+                    reg["vlp16"] / (1000.0 / BASELINE_SCAN_SCAN_MS), 2),
+            },
+            "registration_fps_hdl64": {
+                "value": round(reg["hdl64"], 2), "unit": "frames/s",
+            },
+            "posegraph_1905v_ms": {
+                "value": round(pg_ms, 1), "unit": "ms",
+                "chi2": [round(chi2_0, 1), round(chi2_1, 3)],
+            },
+            "e2e_system_fps": {
+                "value": round(sys_fps, 2), "unit": "frames/s",
+                "vs_baseline": round(sys_fps / baseline_fps, 2),
+            },
+        },
     }))
 
 

@@ -117,29 +117,75 @@ def curvature(grid: ScanGrid, half_window: int = 5):
     return c, valid
 
 
-@jax.jit
-def bad_point_mask(grid: ScanGrid):
+@partial(jax.jit, static_argnames=("one_sided_occlusion",))
+def bad_point_mask(grid: ScanGrid, one_sided_occlusion: bool = False):
     """Reject occlusion edges and near-parallel surfaces.
 
     Reference: `checkBadEdgePoint` / occlusion logic
     (`LOAMFeatureProcessor_base.hpp:216-282`): (a) neighbors with a large
     range discontinuity (occluded background edges), (b) points whose beam is
     nearly parallel to the surface.
+
+    ``one_sided_occlusion``: reject only when a neighbor is CLOSER by >2% of
+    range — that point sits on the background side of a silhouette and its
+    apparent position slides with viewpoint. The foreground side (neighbor
+    farther) is kept: those points lie ON the occluding structure and at
+    HDL-64 urban density they are exactly the stable pole/corner edge
+    features. Default is the conservative two-sided test: in scenes where
+    round objects (tree trunks, cylinders) dominate the edge budget the
+    foreground silhouette ALSO slides with viewpoint (the limb of a cylinder
+    is a different 3D point from each side), so both sides are dropped.
     """
     r = grid.rng
     r_prev = _shift(r, 1, axis=1)
     r_next = _shift(r, -1, axis=1)
     m_prev = _shift(grid.mask, 1, axis=1)
     m_next = _shift(grid.mask, -1, axis=1)
-    # (a) occlusion: neighbor range differs by >2% of range
-    disc = jnp.maximum(jnp.abs(r - r_prev), jnp.abs(r - r_next)) > 0.02 * r + 0.1
+    if one_sided_occlusion:
+        # (a) background side of a silhouette only
+        occluded = ((r_prev - r) < -(0.02 * r + 0.1)) | (
+            (r_next - r) < -(0.02 * r + 0.1)
+        )
+    else:
+        # (a) any large neighbor discontinuity (both sides)
+        occluded = jnp.maximum(jnp.abs(r - r_prev), jnp.abs(r - r_next)) > (
+            0.02 * r + 0.1
+        )
     # (b) parallel beam: both neighbors much further/closer in same direction
     parallel = (jnp.abs(r_next + r_prev - 2 * r) > 0.02 * r + 0.05) & (
         jnp.sign(r_next - r) == jnp.sign(r_prev - r)
     )
-    ok = grid.mask & m_prev & m_next & ~(disc & parallel)
-    good = ok & ~disc
+    ok = grid.mask & m_prev & m_next & ~(occluded & parallel)
+    good = ok & ~occluded
     return good
+
+
+@partial(jax.jit, static_argnames=("max_angle", "z_max"))
+def ground_mask(grid: ScanGrid, max_angle: float = 0.175, z_max: float = -0.5):
+    """LeGO-LOAM-style ground segmentation on the organized grid.
+
+    A pair of vertically adjacent returns whose connecting segment is within
+    ``max_angle`` of horizontal AND below the sensor (``z_max``, sensor
+    frame) marks both cells as ground. Ground cells stay in the surf channel
+    (the plane fit is exactly right there) but are barred from edge
+    candidacy: ground gives no repeatable line structure, and at near range
+    noise-peak "edges" on it sit at fixed (ring, azimuth) — i.e. fixed
+    sensor-relative positions — so matching them drags registration against
+    the motion. The reference's LOAM processor has no ground handling
+    (`LOAMFeatureProcessor_base.hpp`); this is a capability the TPU grid
+    layout makes one fused elementwise pass.
+    """
+    xyz = grid.xyz
+    d = xyz[1:] - xyz[:-1]  # ring r → r+1, same azimuth column
+    dxy = jnp.linalg.norm(d[..., :2], axis=-1)
+    ang = jnp.arctan2(jnp.abs(d[..., 2]), jnp.maximum(dxy, 1e-6))
+    low = (xyz[..., 2] < z_max) & grid.mask
+    flat = (ang < max_angle) & low[1:] & low[:-1]
+    R, W = grid.rng.shape
+    g = jnp.zeros((R, W), bool)
+    g = g.at[:-1].set(flat)
+    g = g.at[1:].set(g[1:] | flat)
+    return g
 
 
 class LoamFeatures(NamedTuple):
@@ -149,7 +195,10 @@ class LoamFeatures(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("sectors", "edges_per_sector", "surfs_per_sector", "nms_half"),
+    static_argnames=(
+        "sectors", "edges_per_sector", "surfs_per_sector", "nms_half",
+        "range_noise", "exclude_ground_edges", "one_sided_occlusion",
+    ),
 )
 def extract_loam_features(
     grid: ScanGrid,
@@ -159,6 +208,9 @@ def extract_loam_features(
     edge_thresh: float = 0.5,
     surf_thresh: float = 0.05,
     nms_half: int = 5,
+    range_noise: float = 0.0,
+    exclude_ground_edges: bool = False,
+    one_sided_occlusion: bool = False,
 ) -> LoamFeatures:
     """Per-(ring, sector) edge/surf selection.
 
@@ -166,26 +218,49 @@ def extract_loam_features(
     (parallel replacement of the reference's sequential neighbor-suppression,
     `LOAMFeatureProcessor_base.hpp:152-195`); top ``edges_per_sector`` by
     curvature. Surfs: curvature < surf_thresh; lowest ``surfs_per_sector``.
+
+    ``range_noise`` (σ, metres): the spacing-normalized curvature has an
+    additive noise floor E[c_noise] ≈ (2w+1)/(2w) · σ²/spacing² that DIVERGES
+    at near range (small azimuthal spacing) — without compensation, sensor
+    noise manufactures phantom "edges" on smooth near-field ground, and those
+    points ride at fixed (ring, azimuth) ⇒ fixed sensor-relative position, so
+    matching them systematically drags registration against the motion (a
+    measured −7%/frame translation bias at HDL-64 scale, σ=1 cm). Subtracting
+    the analytic floor restores scale-invariant thresholds.
     """
     R, W = grid.rng.shape
     assert W % sectors == 0, "width must divide into sectors"
     c, cvalid = curvature(grid, nms_half)
-    good = bad_point_mask(grid) & cvalid
+    # edge selection uses the noise-compensated curvature; surf selection
+    # keeps the raw value (subtracting there creates c≈0 ties that skew the
+    # lowest-k pick toward sensor-locked near-field points)
+    c_edge = c
+    if range_noise > 0.0:
+        spacing = jnp.maximum(grid.rng * (2.0 * jnp.pi / W), 1e-4)
+        w2 = 2 * nms_half
+        floor = (w2 + 1) / w2 * (range_noise / spacing) ** 2
+        c_edge = c - 3.0 * floor  # 3× ⇒ noise fluctuations stay under
+    good = bad_point_mask(grid, one_sided_occlusion) & cvalid
+    if exclude_ground_edges:
+        edge_ok = good & ~ground_mask(grid)
+    else:
+        edge_ok = good
 
     # parallel NMS: survives if it equals the max curvature in its ±nms_half window
     neg_inf = jnp.float32(-3.4e38)
-    cm = jnp.where(good, c, neg_inf)
+    cm = jnp.where(edge_ok, c_edge, neg_inf)
     local_max = cm
     for s in range(1, nms_half + 1):
         local_max = jnp.maximum(local_max, _shift(cm, s, axis=1))
         local_max = jnp.maximum(local_max, _shift(cm, -s, axis=1))
-    is_peak = (cm >= local_max) & good
+    is_peak = (cm >= local_max) & edge_ok
 
     sw = W // sectors
-    c_sec = c.reshape(R, sectors, sw)
+    c_sec = c_edge.reshape(R, sectors, sw)
     edge_score = jnp.where(
         (c_sec > edge_thresh) & is_peak.reshape(R, sectors, sw), c_sec, neg_inf
     )
+    c_sec = c.reshape(R, sectors, sw)
     surf_score = jnp.where(
         (c_sec < surf_thresh) & good.reshape(R, sectors, sw), -c_sec, neg_inf
     )

@@ -1,0 +1,461 @@
+"""Submap-partitioned pose-graph solve via Schur-complement elimination.
+
+The edge-sharded PCG solve (`distributed.py`) replicates vertices and
+iterates; past ~10⁴ vertices the O(V) replicated state per PCG step and the
+global synchronization per iteration dominate. This module is the scale-out
+answer SURVEY §2.9/§5 calls for (the reference's counterpart is its
+multi-node ROS graph, `launch/FactorGraphFusionSLAM.launch`, which has no
+numerical distribution at all):
+
+- vertices are partitioned into ``S`` contiguous **submaps** (contiguous =
+  keyframe order, so odometry edges stay internal);
+- a vertex is a **separator** iff some edge couples it across submaps
+  (submap boundaries + loop-closure endpoints — a tiny fraction in SLAM
+  graphs);
+- each Gauss-Newton step eliminates every submap's interior exactly with a
+  batched dense Cholesky (one (S, 6m, 6m) factorization — MXU work, no
+  sparse bookkeeping), reduces onto the separator system with one
+  ``psum``-style scatter, solves the small dense separator system
+  replicated, and back-substitutes locally.
+
+Compared to the PCG path this is an *exact* Newton step (no inner-iteration
+truncation), communication is O(separators²) instead of O(V·pcg_iters), and
+all the heavy lifting is batched dense linear algebra — the shape TPUs are
+built for. Robust kernels (DCS/Huber/Cauchy) are re-evaluated per GN
+iteration exactly as in `backend.pose_graph`.
+
+Sharding: the submap axis is sharded over the mesh; separator reductions are
+``psum``; the separator solve is replicated (it is tiny). On one device the
+collectives are no-ops and the result matches `optimize_pose_graph` to
+solver tolerance.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..common import se3
+from ..backend.pose_graph import (
+    PoseGraphParams,
+    PoseGraphStats,
+    _edge_res_jac,
+    _robust_weight,
+    edge_residual,
+)
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+class SubmapPartition(NamedTuple):
+    """Host-precomputed static index plumbing for the Schur solve.
+
+    All arrays are numpy (hashable shapes); the device solve treats them as
+    constants of the compiled program.
+    """
+
+    n_submaps: int  # S (padded to a multiple of the mesh size)
+    m: int  # interior variable slots per submap (padded)
+    k: int  # separator slots adjacent to one submap (padded)
+    n_sep: int  # global separator slots (padded)
+    # per-(submap, edge-slot) edge gather list
+    e_idx: np.ndarray  # (S, Emax) int32 — index into the global edge arrays
+    e_mask: np.ndarray  # (S, Emax) bool
+    # per-(submap, edge-slot, endpoint∈{i,j}) destination classes/slots
+    cls: np.ndarray  # (S, Emax, 2) int8 — 0 interior, 1 separator, 2 fixed/drop
+    loc: np.ndarray  # (S, Emax, 2) int32 — interior slot a / LOCAL separator slot
+    # separator plumbing
+    sep_ids: np.ndarray  # (n_sep,) int32 — global vertex id per sep slot (-1 pad)
+    sep_local2global: np.ndarray  # (S, k) int32 — local sep slot → global sep slot
+    sep_l2g_mask: np.ndarray  # (S, k) bool
+    # interior scatter-back
+    int_ids: np.ndarray  # (S, m) int32 — global vertex id per interior slot (-1)
+    int_mask: np.ndarray  # (S, m) bool
+
+
+def partition_graph(
+    edges_ij: np.ndarray,
+    emask: np.ndarray,
+    V: int,
+    n_submaps: int,
+    fixed: np.ndarray | None = None,
+) -> SubmapPartition:
+    """Contiguous-range partition + separator classification (host side).
+
+    ``fixed`` vertices are excluded from the variable set entirely (their
+    increment is identically zero — the exact analog of removing the gauge
+    row/column from the normal equations).
+    """
+    edges_ij = np.asarray(edges_ij)
+    emask = np.asarray(emask, bool)
+    fixed = (
+        np.zeros(V, bool) if fixed is None else np.asarray(fixed, bool).copy()
+    )
+    S = int(n_submaps)
+    bound = np.linspace(0, V, S + 1).astype(np.int64)
+    v_sub = np.zeros(V, np.int64)
+    for s in range(S):
+        v_sub[bound[s]: bound[s + 1]] = s
+
+    ii = edges_ij[emask, 0].astype(np.int64)
+    jj = edges_ij[emask, 1].astype(np.int64)
+    is_sep = np.zeros(V, bool)
+    cross = v_sub[ii] != v_sub[jj]
+    is_sep[ii[cross]] = True
+    is_sep[jj[cross]] = True
+    is_sep &= ~fixed
+
+    INT, SEP, DROP = 0, 1, 2
+    v_cls = np.where(fixed, DROP, np.where(is_sep, SEP, INT)).astype(np.int8)
+
+    # interior slots per submap
+    m = 0
+    int_slot = np.full(V, -1, np.int64)
+    int_lists = []
+    for s in range(S):
+        vs = np.arange(bound[s], bound[s + 1])
+        vs = vs[v_cls[vs] == INT]
+        int_slot[vs] = np.arange(len(vs))
+        int_lists.append(vs)
+        m = max(m, len(vs))
+    m = max(_pow2(m), 1)
+    int_ids = np.full((S, m), -1, np.int64)
+    for s, vs in enumerate(int_lists):
+        int_ids[s, : len(vs)] = vs
+
+    # global separator slots
+    sep_vs = np.nonzero(v_cls == SEP)[0]
+    n_sep = max(_pow2(len(sep_vs)), 1)
+    sep_slot = np.full(V, -1, np.int64)
+    sep_slot[sep_vs] = np.arange(len(sep_vs))
+    sep_ids = np.full(n_sep, -1, np.int64)
+    sep_ids[: len(sep_vs)] = sep_vs
+
+    # edge ownership: the submap of an interior endpoint (edges between two
+    # interiors are always same-submap by construction); otherwise submap of i
+    E = edges_ij.shape[0]
+    own = np.where(
+        v_cls[edges_ij[:, 0]] == INT,
+        v_sub[edges_ij[:, 0]],
+        np.where(
+            v_cls[edges_ij[:, 1]] == INT,
+            v_sub[edges_ij[:, 1]],
+            v_sub[edges_ij[:, 0]],
+        ),
+    )
+    own = np.where(emask, own, -1)
+
+    Emax = 1
+    per_sub_edges = []
+    for s in range(S):
+        es = np.nonzero(own == s)[0]
+        per_sub_edges.append(es)
+        Emax = max(Emax, len(es))
+    Emax = _pow2(Emax)
+    e_idx = np.zeros((S, Emax), np.int64)
+    e_mask = np.zeros((S, Emax), bool)
+    for s, es in enumerate(per_sub_edges):
+        e_idx[s, : len(es)] = es
+        e_mask[s, : len(es)] = True
+
+    # local separator lists per submap (separators its edges touch)
+    k = 1
+    sep_loc_maps = []
+    for s, es in enumerate(per_sub_edges):
+        vs = np.unique(edges_ij[es].ravel()) if len(es) else np.zeros(0, np.int64)
+        vs = vs[v_cls[vs] == SEP]
+        sep_loc_maps.append(vs)
+        k = max(k, len(vs))
+    k = _pow2(k)
+    sep_l2g = np.zeros((S, k), np.int64)
+    sep_l2g_mask = np.zeros((S, k), bool)
+    v_seploc = np.full((S, V), -1, np.int64)  # per-submap local slot of vertex
+    for s, vs in enumerate(sep_loc_maps):
+        sep_l2g[s, : len(vs)] = sep_slot[vs]
+        sep_l2g_mask[s, : len(vs)] = True
+        v_seploc[s, vs] = np.arange(len(vs))
+
+    # per-(submap, edge-slot, endpoint) class + local slot
+    cls = np.full((S, Emax, 2), DROP, np.int8)
+    loc = np.zeros((S, Emax, 2), np.int64)
+    for s in range(S):
+        es = e_idx[s]
+        for side in (0, 1):
+            v = edges_ij[es, side]
+            c = np.where(e_mask[s], v_cls[v], DROP)
+            cls[s, :, side] = c
+            loc[s, :, side] = np.where(
+                c == INT, int_slot[v], np.where(c == SEP, v_seploc[s, v], 0)
+            )
+
+    return SubmapPartition(
+        n_submaps=S, m=m, k=k, n_sep=n_sep,
+        e_idx=e_idx.astype(np.int32), e_mask=e_mask,
+        cls=cls, loc=loc.astype(np.int32),
+        sep_ids=sep_ids.astype(np.int32),
+        sep_local2global=sep_l2g.astype(np.int32),
+        sep_l2g_mask=sep_l2g_mask,
+        int_ids=int_ids.astype(np.int32), int_mask=int_ids >= 0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side solve
+# ---------------------------------------------------------------------------
+
+
+def _spd_solve(chol, b):
+    """Solve A x = b given chol(A) for batched b (..., n, r)."""
+    y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        chol.swapaxes(-1, -2), y, lower=False
+    )
+
+
+def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
+    """Returns gn_step(poses) -> (new_poses, dx_norm) for one shard of
+    submaps. Shard-local shapes: S_l = submaps on this device."""
+    INT, SEP = 0, 1
+    m6, k6, n6 = 6 * part.m, 6 * part.k, 6 * part.n_sep
+
+    def allreduce(x):
+        return jax.lax.psum(x, axis) if axis is not None else x
+
+    def step(poses, e_idx, e_mask, cls, loc, l2g, l2g_mask, int_ids, int_mask,
+             edges_ij, edges_z, edges_sqrtw):
+        S_l = e_idx.shape[0]
+        # gather this shard's edges: (S_l, Emax, ...)
+        eij = edges_ij[e_idx]
+        z = edges_z[e_idx]
+        sqrtw = edges_sqrtw[e_idx] * e_mask[..., None]
+        pi = poses[eij[..., 0]]
+        pj = poses[eij[..., 1]]
+
+        r, Ji, Jj = jax.vmap(jax.vmap(_edge_res_jac))(pi, pj, z)
+        r = r * sqrtw
+        Ji = Ji * sqrtw[..., None]
+        Jj = Jj * sqrtw[..., None]
+        w = _robust_weight(
+            jnp.sum(r * r, -1), params.kernel, params.kernel_delta
+        ) * e_mask
+
+        J = jnp.stack([Ji, Jj], axis=2)  # (S_l, E, 2, 6, 6)
+        wr = r * w[..., None]
+        # all four ordered endpoint pairs (p, q): C_pq = Jpᵀ W Jq
+        C = jnp.einsum("sepab,se,seqac->sepqbc", J, w, J)  # (S_l,E,2,2,6,6)
+        g_blk = jnp.einsum("sepab,sea->sepb", J, wr)  # (S_l,E,2,6)
+
+        cp = cls[:, :, :, None]  # p class (S_l,E,2,1)
+        cq = cls[:, :, None, :]
+        lp = loc[:, :, :, None]
+        lq = loc[:, :, None, :]
+        sub = jnp.arange(S_l)[:, None, None, None]
+
+        def scat(dest_idx, mask, blocks, size):
+            idx = jnp.where(mask, dest_idx, size)
+            return jax.ops.segment_sum(
+                (blocks * mask[..., None, None]).reshape(-1, 6, 6),
+                idx.reshape(-1),
+                num_segments=size + 1,
+            )[:size]
+
+        # A: interior×interior, per submap
+        mA = (cp == INT) & (cq == INT)
+        A = scat(
+            (sub * part.m + lp) * part.m + lq, mA, C,
+            S_l * part.m * part.m,
+        ).reshape(S_l, part.m, part.m, 6, 6)
+        # B: interior×separator(local)
+        mB = (cp == INT) & (cq == SEP)
+        B = scat(
+            (sub * part.m + lp) * part.k + lq, mB, C,
+            S_l * part.m * part.k,
+        ).reshape(S_l, part.m, part.k, 6, 6)
+        # separator×separator → GLOBAL sep matrix (local slots → global)
+        gp = jnp.take_along_axis(
+            l2g, loc.reshape(S_l, -1), axis=1
+        ).reshape(loc.shape)
+        gpp = gp[:, :, :, None]
+        gqq = gp[:, :, None, :]
+        mS = (cp == SEP) & (cq == SEP)
+        Hs = scat(
+            gpp * part.n_sep + gqq, mS, C, part.n_sep * part.n_sep
+        ).reshape(part.n_sep, part.n_sep, 6, 6)
+
+        # gradients
+        def scat_g(dest_idx, mask, blocks, size):
+            idx = jnp.where(mask, dest_idx, size)
+            return jax.ops.segment_sum(
+                (blocks * mask[..., None]).reshape(-1, 6),
+                idx.reshape(-1),
+                num_segments=size + 1,
+            )[:size]
+
+        mgi = cls == INT
+        g_int = scat_g(
+            jnp.arange(S_l)[:, None, None] * part.m + loc, mgi, g_blk,
+            S_l * part.m,
+        ).reshape(S_l, part.m, 6)
+        mgs = cls == SEP
+        g_sep = scat_g(gp, mgs, g_blk, part.n_sep)  # (n_sep, 6)
+
+        # dense per-submap interior system (S_l, 6m, 6m); padded interior
+        # slots carry an identity diagonal so the factorization stays SPD
+        Ad = A.transpose(0, 1, 3, 2, 4).reshape(S_l, m6, m6)
+        dmask = jnp.repeat(~int_mask, 6, axis=1).astype(Ad.dtype)  # (S_l, 6m)
+        Ad = Ad + jax.vmap(jnp.diag)(dmask) + jnp.eye(m6)[None] * params.damping
+        chol = jnp.linalg.cholesky(Ad)
+
+        Bd = B.transpose(0, 1, 3, 2, 4).reshape(S_l, m6, k6)
+        gi = g_int.reshape(S_l, m6)
+
+        Y = _spd_solve(chol, Bd)  # (S_l, 6m, 6k)
+        xg = _spd_solve(chol, gi[..., None])[..., 0]  # (S_l, 6m)
+
+        dH = jnp.einsum("smk,sml->skl", Bd, Y)  # (S_l, 6k, 6k)
+        dg = jnp.einsum("smk,sm->sk", Bd, xg)  # (S_l, 6k)
+
+        # scatter local (6k) blocks into the global separator system
+        l2g_safe = jnp.where(l2g_mask, l2g, part.n_sep)
+        rowg = (
+            l2g_safe[:, :, None] * 6 + jnp.arange(6)[None, None, :]
+        ).reshape(S_l, k6)
+        flat = rowg[:, :, None] * (n6 + 6) + rowg[:, None, :]
+        Hs_corr = jax.ops.segment_sum(
+            dH.reshape(-1), flat.reshape(-1),
+            num_segments=(n6 + 6) * (n6 + 6),
+        ).reshape(n6 + 6, n6 + 6)[:n6, :n6]
+        gs_corr = jax.ops.segment_sum(
+            dg.reshape(-1), rowg.reshape(-1), num_segments=n6 + 6
+        )[:n6]
+
+        Hsep = Hs.transpose(0, 2, 1, 3).reshape(n6, n6)
+        Hsep = allreduce(Hsep - Hs_corr)
+        gsep = allreduce(g_sep.reshape(n6) - gs_corr)
+
+        sep_pad = jnp.repeat(
+            jnp.asarray(part.sep_ids < 0), 6
+        ).astype(Hsep.dtype)
+        Hsep = Hsep + jnp.diag(sep_pad) + jnp.eye(n6) * params.damping
+        chol_s = jnp.linalg.cholesky(Hsep)
+        dx_sep = _spd_solve(chol_s, (-gsep)[:, None])[:, 0]  # (6·n_sep,)
+
+        # back-substitution: dx_int = A⁻¹(−g_i − B dx_sep_local)
+        dxs_local = dx_sep.reshape(part.n_sep, 6)[l2g_safe.clip(0, part.n_sep - 1)]
+        dxs_local = dxs_local * l2g_mask[..., None]
+        rhs = -gi - jnp.einsum("smk,sk->sm", Bd, dxs_local.reshape(S_l, k6))
+        dx_int = _spd_solve(chol, rhs[..., None])[..., 0]  # (S_l, 6m)
+
+        # scatter into (V, 6): interiors (shard-local) + separators (replicated)
+        V = poses.shape[0]
+        ids = jnp.where(int_mask, int_ids, V)
+        dxv = jax.ops.segment_sum(
+            (dx_int.reshape(S_l, part.m, 6) * int_mask[..., None]).reshape(-1, 6),
+            ids.reshape(-1),
+            num_segments=V + 1,
+        )[:V]
+        dxv = allreduce(dxv)
+        sep_ids_safe = jnp.where(
+            jnp.asarray(part.sep_ids) >= 0, jnp.asarray(part.sep_ids), V
+        )
+        # dx_sep is replicated (each device solved the same psum'd system),
+        # so it is added locally, NOT summed across devices
+        dxv = dxv + jax.ops.segment_sum(
+            dx_sep.reshape(part.n_sep, 6)
+            * (jnp.asarray(part.sep_ids) >= 0)[:, None],
+            sep_ids_safe,
+            num_segments=V + 1,
+        )[:V]
+
+        new_poses = jax.vmap(se3.pose_retract)(poses, dxv)
+        dxn = jnp.sqrt(jnp.sum(dxv * dxv) / V)
+        return new_poses, dxn
+
+    return step
+
+
+def optimize_pose_graph_schur(
+    poses,
+    edges_ij,
+    edges_z,
+    edges_sqrtw,
+    emask,
+    n_submaps: int = 16,
+    fixed=None,
+    mesh: Mesh | None = None,
+    params: PoseGraphParams = PoseGraphParams(),
+):
+    """Schur-complement submap solve. Interface mirrors
+    ``optimize_pose_graph`` (vmask implicit: all vertices real; pad the graph
+    before calling). Returns (poses, PoseGraphStats)."""
+    V = poses.shape[0]
+    if fixed is None:
+        fixed_np = np.zeros(V, bool)
+        fixed_np[0] = True
+    else:
+        fixed_np = np.asarray(fixed, bool)
+
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    S = max(n_submaps, n_dev)
+    S = ((S + n_dev - 1) // n_dev) * n_dev  # multiple of mesh size
+    part = partition_graph(
+        np.asarray(edges_ij), np.asarray(emask), V, S, fixed_np
+    )
+    axis = None if mesh is None else mesh.axis_names[0]
+
+    step = _schur_gn_body(part, params, axis)
+
+    e_z = jnp.asarray(edges_z)
+    e_ij = jnp.asarray(edges_ij)
+    e_sw = jnp.asarray(edges_sqrtw) * jnp.asarray(emask)[:, None]
+
+    def chi2_of(p):
+        r = jax.vmap(edge_residual)(p[e_ij[:, 0]], p[e_ij[:, 1]], e_z) * e_sw
+        return jnp.sum(r * r)
+
+    consts = (
+        jnp.asarray(part.e_idx), jnp.asarray(part.e_mask),
+        jnp.asarray(part.cls), jnp.asarray(part.loc),
+        jnp.asarray(part.sep_local2global), jnp.asarray(part.sep_l2g_mask),
+        jnp.asarray(part.int_ids), jnp.asarray(part.int_mask),
+    )
+
+    def run(p0, e_ij, e_z, e_sw, *consts_dev):
+        def body(carry, _):
+            p, done, iters = carry
+            new_p, dxn = step(p, *consts_dev, e_ij, e_z, e_sw)
+            small = dxn < params.converged_dx
+            p = jnp.where(done, p, new_p)
+            return (p, done | small, iters + jnp.where(done, 0, 1)), None
+
+        init = (p0, jnp.array(False), jnp.array(0, jnp.int32))
+        (out, _, iters), _ = jax.lax.scan(
+            body, init, None, length=params.gn_iters
+        )
+        return out, iters
+
+    if mesh is None:
+        out, iters = jax.jit(run)(jnp.asarray(poses), e_ij, e_z, e_sw, *consts)
+    else:
+        axis_n = mesh.axis_names[0]
+        in_specs = (
+            P(), P(), P(), P(),
+            P(axis_n), P(axis_n), P(axis_n), P(axis_n),
+            P(axis_n), P(axis_n), P(axis_n), P(axis_n),
+        )
+        shard_run = jax.shard_map(
+            run, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+            check_vma=False,
+        )
+        out, iters = jax.jit(shard_run)(
+            jnp.asarray(poses), e_ij, e_z, e_sw, *consts
+        )
+    return out, PoseGraphStats(
+        chi2_of(jnp.asarray(poses)), chi2_of(out), iters
+    )

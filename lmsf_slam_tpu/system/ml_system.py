@@ -56,6 +56,17 @@ class FeatureParams(NamedTuple):
     edge_thresh: float = 0.5
     surf_thresh: float = 0.05
     nms_half: int = 5
+    # sensor range noise σ (m): enables the noise-floor-compensated curvature
+    # (ops.features) so near-range noise can't fabricate edge features
+    range_noise: float = 0.0
+    # LeGO-LOAM-style ground segmentation: bar ground cells from the edge
+    # channel (ground keeps feeding the surf/plane channel)
+    exclude_ground_edges: bool = False
+    # keep foreground silhouette points (reject only the occluded/background
+    # side) — right at HDL-64 urban density where poles/corners dominate;
+    # leave False where round objects dominate the edge budget (their limb
+    # slides with viewpoint). See ops.features.bad_point_mask.
+    one_sided_occlusion: bool = False
 
     @property
     def edge_capacity(self) -> int:
@@ -290,6 +301,9 @@ class MultiLidarSystem:
             edge_thresh=cfg.edge_thresh,
             surf_thresh=cfg.surf_thresh,
             nms_half=cfg.nms_half,
+            range_noise=cfg.range_noise,
+            exclude_ground_edges=cfg.exclude_ground_edges,
+            one_sided_occlusion=cfg.one_sided_occlusion,
         )
         return feats.edge, feats.surf, grid
 

@@ -29,7 +29,39 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (golden-path / scale tests)",
+    )
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: runs on the real TPU chip (skipped when absent)"
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: golden-path / scale test, skipped by default "
+        "(run with --slow or RUN_SLOW=1) so the default suite stays under "
+        "the driver's budget on this 2-vCPU host",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    run_slow = (
+        config.getoption("--slow")
+        or os.environ.get("RUN_SLOW", "") == "1"
+        # explicit selection (`-m slow`) also runs them
+        or "slow" in (config.getoption("-m") or "")
+    )
+    if run_slow:
+        return
+    skip = _pytest.mark.skip(reason="slow test: pass --slow or RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

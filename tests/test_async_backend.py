@@ -6,6 +6,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lmsf_slam_tpu.backend import LifelongBackend, LifelongConfig, WorkMode
 from lmsf_slam_tpu.backend.async_backend import AsyncBackend
@@ -26,6 +27,7 @@ def _loop_cfg():
     )
 
 
+@pytest.mark.slow
 def test_async_matches_sync_and_closes_loop():
     world = make_world(KEY, extent=25.0, n_pillars=50, n_ground=5000,
                        n_wall=2500)
@@ -91,7 +93,6 @@ def test_async_flush_and_save(tmp_path):
 def test_async_worker_error_surfaces_no_deadlock():
     """A worker exception must not kill the thread silently: flush raises
     instead of deadlocking on Queue.join()."""
-    import pytest
 
     backend = AsyncBackend(LifelongBackend(loop_config=_loop_cfg()))
     # poison: edge/surf of the wrong type blows up inside add_keyframe

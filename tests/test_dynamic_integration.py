@@ -6,6 +6,7 @@ old positions read as free space in the live grid."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lmsf_slam_tpu.backend import LifelongConfig, LoopConfig
 from lmsf_slam_tpu.datasets import make_sim_world, simulate_scan
@@ -73,6 +74,7 @@ def _trail_points(system, frames):
     return count
 
 
+@pytest.mark.slow
 def test_carve_removes_mover_trail_from_map_and_grid():
     early = range(0, 10)  # positions later scans can see through
     sys_off = _run(carve=False)

@@ -77,3 +77,100 @@ def test_extract_features_finds_corners():
     )
     plane_dist = np.minimum(wall_dist, np.abs(surfs[:, 2] + 2))
     assert np.percentile(plane_dist, 90) < 0.1
+
+
+def test_ground_mask_flags_floor_not_walls():
+    pb = synthetic_room_scan()
+    grid = features.organize_scan(pb, rings=16, width=360)
+    g = np.asarray(features.ground_mask(grid, z_max=-0.5))
+    xyz = np.asarray(grid.xyz)
+    mask = np.asarray(grid.mask)
+    on_floor = np.abs(xyz[..., 2] + 2) < 0.15
+    wall = (~on_floor) & mask
+    # floor cells away from the wall junction are flagged; wall cells are not
+    interior_floor = on_floor & (
+        np.minimum(np.abs(np.abs(xyz[..., 0]) - 5), np.abs(np.abs(xyz[..., 1]) - 5))
+        > 0.5
+    )
+    assert g[interior_floor].mean() > 0.9
+    assert g[wall].mean() < 0.05
+
+
+def test_ground_excluded_edges_keep_surfs():
+    pb = synthetic_room_scan(noise=0.01, seed=3)
+    grid = features.organize_scan(pb, rings=16, width=360)
+    base = features.extract_loam_features(grid, edges_per_sector=8, surfs_per_sector=30)
+    nog = features.extract_loam_features(
+        grid, edges_per_sector=8, surfs_per_sector=30, exclude_ground_edges=True
+    )
+    edges = nog.edge.to_numpy()
+    # no edge feature may sit on the interior floor plane
+    if len(edges):
+        on_floor = np.abs(edges[:, 2] + 2) < 0.15
+        near_wall = (
+            np.minimum(np.abs(np.abs(edges[:, 0]) - 5), np.abs(np.abs(edges[:, 1]) - 5))
+            < 0.5
+        )
+        assert not np.any(on_floor & ~near_wall)
+    # surf channel unchanged by the edge-side exclusion
+    np.testing.assert_array_equal(
+        np.asarray(nog.surf.mask), np.asarray(base.surf.mask)
+    )
+
+
+def test_range_noise_floor_suppresses_phantom_near_edges():
+    """With heavy sensor noise, uncompensated near-range curvature crosses the
+    edge threshold on smooth ground; the analytic floor subtraction kills
+    those phantom edges while real corners survive."""
+    pb = synthetic_room_scan(noise=0.03, seed=1)
+    grid = features.organize_scan(pb, rings=16, width=360)
+    raw = features.extract_loam_features(grid, edges_per_sector=8, surfs_per_sector=30)
+    comp = features.extract_loam_features(
+        grid, edges_per_sector=8, surfs_per_sector=30, range_noise=0.03
+    )
+
+    def phantom_fraction(f):
+        e = f.edge.to_numpy()
+        if len(e) == 0:
+            return 0.0
+        near_wall_x = np.abs(np.abs(e[:, 0]) - 5) < 0.5
+        near_wall_y = np.abs(np.abs(e[:, 1]) - 5) < 0.5
+        on_floor = np.abs(e[:, 2] + 2) < 0.3
+        real = (near_wall_x & near_wall_y) | (on_floor & (near_wall_x | near_wall_y))
+        return float(np.mean(~real))
+
+    assert phantom_fraction(comp) <= phantom_fraction(raw)
+    # compensated extraction still finds the actual corners
+    assert int(np.asarray(comp.edge.mask).sum()) > 10
+
+
+def test_one_sided_occlusion_keeps_foreground_silhouette():
+    """A box in front of a far wall: the background side of the silhouette is
+    always rejected; the foreground (box) side survives only in one-sided
+    mode."""
+    # single ring: wall at x=8, box edge spanning azimuth in front at x=3
+    width = 360
+    az = -np.pi + (np.arange(width) + 0.5) * 2 * np.pi / width
+    in_box = np.abs(az) < 0.5  # box occupies the forward cone
+    t = np.where(in_box, 3.0 / np.cos(az), np.where(np.cos(az) > 0.3, 8.0 / np.cos(az), 6.0))
+    pts = np.stack([t * np.cos(az), t * np.sin(az), np.zeros(width)], -1)
+    pts = np.tile(pts[None], (3, 1, 1)) + np.array([0, 0, -0.1])[None, None]
+    pts[1, :, 2] = 0.0
+    pts[2, :, 2] = 0.1
+    n = 3 * width
+    pb = PointBatch.from_points(pts.reshape(-1, 3).astype(np.float32), capacity=n)
+    rid = np.repeat(np.arange(3), width)
+    grid = features.organize_scan(pb, rings=3, width=width, ring_ids=jnp.asarray(rid))
+
+    both = np.asarray(features.bad_point_mask(grid))
+    one = np.asarray(features.bad_point_mask(grid, one_sided_occlusion=True))
+    xyz = np.asarray(grid.xyz)
+    on_box = np.abs(xyz[..., 0] - 3.0) < 0.2
+    # columns adjacent to the box silhouette on the box side
+    box_cols = np.where(on_box[1])[0]
+    lo, hi = box_cols.min(), box_cols.max()
+    assert not both[1, lo] and not both[1, hi]  # two-sided drops foreground rim
+    assert one[1, lo] and one[1, hi]  # one-sided keeps it
+    # background rim (wall side) rejected in BOTH modes
+    assert not both[1, lo - 1] and not one[1, lo - 1]
+    assert not both[1, hi + 1] and not one[1, hi + 1]

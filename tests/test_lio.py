@@ -143,6 +143,7 @@ def _tracker_cfg():
     )
 
 
+@pytest.mark.slow
 def test_imu_aided_beats_lidar_only(skewed_scans):
     world, poses, imu, scans = skewed_scans
     n = len(scans)

@@ -3,6 +3,7 @@ pose/velocity/bias window (imuPreintegration_node.cpp semantics)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lmsf_slam_tpu.backend.lio_graph import FactorGraphLio, LioGraphParams
 from lmsf_slam_tpu.common import se3
@@ -22,6 +23,7 @@ def _preintegrated(imu_window, bias_g=None, bias_a=None):
     )
 
 
+@pytest.mark.slow
 def test_clean_imu_exact_priors_stay_put():
     """Noise-free factors: the solution must sit at ground truth (chi2≈0)."""
     n = 10
@@ -70,6 +72,7 @@ def test_bias_estimation_from_graph():
     )
 
 
+@pytest.mark.slow
 def test_window_reset_keeps_tracking():
     """Filling the window triggers the periodic re-anchor (ref :380-408)
     without breaking the trajectory estimate."""

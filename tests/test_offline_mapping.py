@@ -3,6 +3,7 @@ stitching matches sequential single-device tracking."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lmsf_slam_tpu.common import se3
 from lmsf_slam_tpu.datasets import make_sim_world, make_trajectory, simulate_scan
@@ -17,6 +18,7 @@ KEY = jax.random.PRNGKey(44)
 N_FRAMES = 32
 
 
+@pytest.mark.slow
 def test_offline_sharded_mapping_matches_gt():
     # geometry-rich world: chunk cold starts (single-scan map, no velocity
     # history) need fully-constrained scan-to-scan registration; in

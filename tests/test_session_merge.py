@@ -55,6 +55,7 @@ def two_sessions():
     return db_a, db_b, off_b
 
 
+@pytest.mark.slow
 def test_align_and_merge(two_sessions):
     db_a, db_b, off_b = two_sessions
     res = align_sessions(db_a, db_b, _loop_cfg())

@@ -48,6 +48,7 @@ def chip_scan():
     return feats
 
 
+@pytest.mark.slow
 def test_approx_max_k_recall_on_chip(chip_scan):
     """approx_max_k's 0.95-recall PartialReduce on structured geometry:
     measure the ACTUAL recall of the k-NN the registration consumes."""
