@@ -69,6 +69,14 @@ class LifelongConfig(NamedTuple):
     # boundary / prior), so per-keyframe cost is flat in graph size; a loop
     # closure triggers a FULL solve. 0 disables (always full).
     optimize_window: int = 0
+    # submap/Schur-partitioned FULL solve (parallel/schur.py): when a full
+    # optimization covers at least ``schur_min_vertices`` vertices, eliminate
+    # ``schur_submaps`` contiguous submaps with batched dense Cholesky
+    # instead of running the replicated PCG — exact GN steps, flat per-step
+    # communication, the scale-out path for lifelong-sized graphs (unary
+    # GNSS/plane priors are carried through). 0 keeps the replicated solve.
+    schur_submaps: int = 0
+    schur_min_vertices: int = 2048
     localization_params: RegistrationParams = RegistrationParams(
         max_iters=8, max_corr_dist=2.0
     )
@@ -475,12 +483,40 @@ class LifelongBackend:
                 plane_sqrtw=jnp.broadcast_to(jnp.asarray(sw), (K, 3)),
                 plane_mask=jnp.asarray(pl_mask),
             )
-        poses, stats = optimize_pose_graph(
-            g.poses, g.vmask, g.edges_ij, g.edges_z, g.edges_sqrtw, g.emask,
-            fixed=fixed,
-            params=self.config.pose_graph,
-            **priors,
+        use_schur = (
+            full
+            and self.config.schur_submaps > 0
+            and int(np.sum(np.asarray(g.vmask))) >= self.config.schur_min_vertices
         )
+        if use_schur:
+            from ..parallel.schur import optimize_pose_graph_schur
+
+            # Schur expects a dense graph (vmask implicit): the DB's padded
+            # tail vertices carry no edges; fix them so they are dropped
+            # from the variable set entirely.
+            fixed_np = (
+                np.zeros(g.poses.shape[0], bool)
+                if fixed is None
+                else np.asarray(fixed, bool).copy()
+            )
+            if fixed is None:
+                fixed_np[0] = True
+            fixed_np |= ~np.asarray(g.vmask, bool)
+            poses, stats = optimize_pose_graph_schur(
+                g.poses, g.edges_ij, g.edges_z, g.edges_sqrtw, g.emask,
+                n_submaps=self.config.schur_submaps,
+                fixed=fixed_np,
+                params=self.config.pose_graph,
+                **priors,
+            )
+        else:
+            poses, stats = optimize_pose_graph(
+                g.poses, g.vmask, g.edges_ij, g.edges_z, g.edges_sqrtw,
+                g.emask,
+                fixed=fixed,
+                params=self.config.pose_graph,
+                **priors,
+            )
         self.db.update_poses(np.asarray(poses))
         return stats
 

@@ -77,6 +77,15 @@ class SubmapPartition(NamedTuple):
     # interior scatter-back
     int_ids: np.ndarray  # (S, m) int32 — global vertex id per interior slot (-1)
     int_mask: np.ndarray  # (S, m) bool
+    # unary factor plumbing (empty second dim when there are no unaries):
+    # each factor is owned by the submap containing its vertex; interior
+    # targets scatter into that submap's A/g, separator targets scatter into
+    # the GLOBAL separator system (pre-psum)
+    u_idx: np.ndarray  # (S, Umax) int32 — index into the packed unary arrays
+    u_mask: np.ndarray  # (S, Umax) bool
+    u_cls: np.ndarray  # (S, Umax) int8 — 0 interior, 1 separator, 2 drop
+    u_loc: np.ndarray  # (S, Umax) int32 — interior slot (cls 0)
+    u_gsep: np.ndarray  # (S, Umax) int32 — global separator slot (cls 1)
 
 
 def partition_graph(
@@ -85,12 +94,16 @@ def partition_graph(
     V: int,
     n_submaps: int,
     fixed: np.ndarray | None = None,
+    unary_vid: np.ndarray | None = None,
 ) -> SubmapPartition:
     """Contiguous-range partition + separator classification (host side).
 
     ``fixed`` vertices are excluded from the variable set entirely (their
     increment is identically zero — the exact analog of removing the gauge
     row/column from the normal equations).
+
+    ``unary_vid``: (K,) vertex id per packed unary factor (GNSS/orientation/
+    plane priors); each factor is routed to the submap owning its vertex.
     """
     edges_ij = np.asarray(edges_ij)
     emask = np.asarray(emask, bool)
@@ -194,6 +207,32 @@ def partition_graph(
                 c == INT, int_slot[v], np.where(c == SEP, v_seploc[s, v], 0)
             )
 
+    # unary factor routing
+    if unary_vid is not None and len(unary_vid) > 0:
+        uv = np.asarray(unary_vid, np.int64)
+        u_own = v_sub[uv]
+        Umax = 1
+        per_sub_u = []
+        for s in range(S):
+            us = np.nonzero(u_own == s)[0]
+            per_sub_u.append(us)
+            Umax = max(Umax, len(us))
+        Umax = _pow2(Umax)
+        u_idx = np.zeros((S, Umax), np.int64)
+        u_mask = np.zeros((S, Umax), bool)
+        for s, us in enumerate(per_sub_u):
+            u_idx[s, : len(us)] = us
+            u_mask[s, : len(us)] = True
+        uc = np.where(u_mask, v_cls[uv[u_idx]], DROP).astype(np.int8)
+        u_loc = np.where(uc == INT, int_slot[uv[u_idx]], 0).astype(np.int64)
+        u_gsep = np.where(uc == SEP, sep_slot[uv[u_idx]], 0).astype(np.int64)
+    else:
+        u_idx = np.zeros((S, 0), np.int64)
+        u_mask = np.zeros((S, 0), bool)
+        uc = np.zeros((S, 0), np.int8)
+        u_loc = np.zeros((S, 0), np.int64)
+        u_gsep = np.zeros((S, 0), np.int64)
+
     return SubmapPartition(
         n_submaps=S, m=m, k=k, n_sep=n_sep,
         e_idx=e_idx.astype(np.int32), e_mask=e_mask,
@@ -202,6 +241,8 @@ def partition_graph(
         sep_local2global=sep_l2g.astype(np.int32),
         sep_l2g_mask=sep_l2g_mask,
         int_ids=int_ids.astype(np.int32), int_mask=int_ids >= 0,
+        u_idx=u_idx.astype(np.int32), u_mask=u_mask, u_cls=uc,
+        u_loc=u_loc.astype(np.int32), u_gsep=u_gsep.astype(np.int32),
     )
 
 
@@ -218,6 +259,30 @@ def _spd_solve(chol, b):
     )
 
 
+def _unary_residual(pose, z, sw, typ):
+    """Unary prior residual, type-dispatched (same factors as
+    `optimize_pose_graph`'s prior_*/qprior_*/plane_* groups).
+
+    ``z`` is packed pose-layout (7,): [:4] quaternion measurement (identity
+    for non-quat factors), [4:] xyz measurement / plane height in z[6].
+    typ: 0 = absolute position, 1 = absolute orientation, 2 = plane.
+    """
+    r_xyz = pose[4:] - z[4:]
+    q = se3.pose_quat(pose)
+    r_quat = se3.so3_log(se3.quat_mul(se3.quat_conj(z[:4]), q))
+    a = se3.quat_rotate(q, jnp.asarray([0.0, 0.0, 1.0]))
+    r_plane = jnp.stack([pose[6] - z[6], a[0], a[1]])
+    r = jnp.where(typ == 0, r_xyz, jnp.where(typ == 1, r_quat, r_plane))
+    return r * sw
+
+
+def _unary_res_jac(pose, z, sw, typ):
+    def f(x):
+        return _unary_residual(se3.pose_retract(pose, x), z, sw, typ)
+
+    return f(jnp.zeros(6)), jax.jacfwd(f)(jnp.zeros(6))
+
+
 def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
     """Returns gn_step(poses) -> (new_poses, dx_norm) for one shard of
     submaps. Shard-local shapes: S_l = submaps on this device."""
@@ -228,7 +293,8 @@ def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
         return jax.lax.psum(x, axis) if axis is not None else x
 
     def step(poses, e_idx, e_mask, cls, loc, l2g, l2g_mask, int_ids, int_mask,
-             edges_ij, edges_z, edges_sqrtw):
+             u_idx, u_mask, u_cls, u_loc, u_gsep,
+             edges_ij, edges_z, edges_sqrtw, u_vid, u_z, u_sw, u_typ):
         S_l = e_idx.shape[0]
         # gather this shard's edges: (S_l, Emax, ...)
         eij = edges_ij[e_idx]
@@ -305,6 +371,33 @@ def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
         mgs = cls == SEP
         g_sep = scat_g(gp, mgs, g_blk, part.n_sep)  # (n_sep, 6)
 
+        # unary priors (GNSS xyz / orientation / plane): diagonal 6×6 block
+        # + gradient on the factor's vertex — interior targets into this
+        # shard's A/g, separator targets into the global (pre-psum) system
+        if u_idx.shape[1] > 0:
+            vid_u = u_vid[u_idx]  # (S_l, U)
+            p_u = poses[vid_u]
+            r_u, J_u = jax.vmap(jax.vmap(_unary_res_jac))(
+                p_u, u_z[u_idx], u_sw[u_idx], u_typ[u_idx]
+            )  # (S_l,U,3), (S_l,U,3,6)
+            C_u = jnp.einsum("suab,suac->subc", J_u, J_u)  # (S_l,U,6,6)
+            g_u = jnp.einsum("suab,sua->sub", J_u, r_u)  # (S_l,U,6)
+            sub_u = jnp.arange(S_l)[:, None]
+            mUi = u_mask & (u_cls == INT)
+            A = A + scat(
+                (sub_u * part.m + u_loc) * part.m + u_loc, mUi, C_u,
+                S_l * part.m * part.m,
+            ).reshape(S_l, part.m, part.m, 6, 6)
+            g_int = g_int + scat_g(
+                sub_u * part.m + u_loc, mUi, g_u, S_l * part.m
+            ).reshape(S_l, part.m, 6)
+            mUs = u_mask & (u_cls == SEP)
+            Hs = Hs + scat(
+                u_gsep * part.n_sep + u_gsep, mUs, C_u,
+                part.n_sep * part.n_sep,
+            ).reshape(part.n_sep, part.n_sep, 6, 6)
+            g_sep = g_sep + scat_g(u_gsep, mUs, g_u, part.n_sep)
+
         # dense per-submap interior system (S_l, 6m, 6m); padded interior
         # slots carry an identity diagonal so the factorization stays SPD
         Ad = A.transpose(0, 1, 3, 2, 4).reshape(S_l, m6, m6)
@@ -380,6 +473,57 @@ def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
     return step
 
 
+def _pack_unaries(
+    prior_xyz, prior_idx, prior_sqrtw, prior_mask,
+    qprior_quat, qprior_idx, qprior_sqrtw, qprior_mask,
+    plane_idx, plane_z, plane_sqrtw, plane_mask,
+):
+    """Pack the three prior groups into one typed list (host side).
+
+    Packed measurement layout is pose-shaped (7,): [:4] quaternion (identity
+    unless an orientation prior), [4:] xyz (plane height in slot 6).
+    """
+    vids, zs, sws, typs = [], [], [], []
+
+    def take(idx, mask):
+        idx = np.asarray(idx, np.int64)
+        m = np.ones(idx.shape, bool) if mask is None else np.asarray(mask, bool)
+        return idx[m], m
+
+    if prior_idx is not None:
+        idx, m = take(prior_idx, prior_mask)
+        z = np.zeros((idx.size, 7), np.float32)
+        z[:, 0] = 1.0
+        z[:, 4:] = np.asarray(prior_xyz, np.float32)[m]
+        vids.append(idx)
+        zs.append(z)
+        sws.append(np.asarray(prior_sqrtw, np.float32)[m])
+        typs.append(np.zeros(idx.size, np.int32))
+    if qprior_idx is not None:
+        idx, m = take(qprior_idx, qprior_mask)
+        z = np.zeros((idx.size, 7), np.float32)
+        z[:, :4] = np.asarray(qprior_quat, np.float32)[m]
+        vids.append(idx)
+        zs.append(z)
+        sws.append(np.asarray(qprior_sqrtw, np.float32)[m])
+        typs.append(np.ones(idx.size, np.int32))
+    if plane_idx is not None:
+        idx, m = take(plane_idx, plane_mask)
+        z = np.zeros((idx.size, 7), np.float32)
+        z[:, 0] = 1.0
+        z[:, 6] = np.asarray(plane_z, np.float32)[m]
+        vids.append(idx)
+        zs.append(z)
+        sws.append(np.asarray(plane_sqrtw, np.float32)[m])
+        typs.append(np.full(idx.size, 2, np.int32))
+
+    if not vids:
+        return (np.zeros(0, np.int64), np.zeros((0, 7), np.float32),
+                np.zeros((0, 3), np.float32), np.zeros(0, np.int32))
+    return (np.concatenate(vids), np.concatenate(zs),
+            np.concatenate(sws), np.concatenate(typs))
+
+
 def optimize_pose_graph_schur(
     poses,
     edges_ij,
@@ -389,11 +533,15 @@ def optimize_pose_graph_schur(
     n_submaps: int = 16,
     fixed=None,
     mesh: Mesh | None = None,
+    prior_xyz=None, prior_idx=None, prior_sqrtw=None, prior_mask=None,
+    qprior_quat=None, qprior_idx=None, qprior_sqrtw=None, qprior_mask=None,
+    plane_idx=None, plane_z=None, plane_sqrtw=None, plane_mask=None,
     params: PoseGraphParams = PoseGraphParams(),
 ):
     """Schur-complement submap solve. Interface mirrors
     ``optimize_pose_graph`` (vmask implicit: all vertices real; pad the graph
-    before calling). Returns (poses, PoseGraphStats)."""
+    before calling; unary prior groups identical, masks must be concrete
+    host values). Returns (poses, PoseGraphStats)."""
     V = poses.shape[0]
     if fixed is None:
         fixed_np = np.zeros(V, bool)
@@ -401,11 +549,18 @@ def optimize_pose_graph_schur(
     else:
         fixed_np = np.asarray(fixed, bool)
 
+    u_vid, u_z, u_sw, u_typ = _pack_unaries(
+        prior_xyz, prior_idx, prior_sqrtw, prior_mask,
+        qprior_quat, qprior_idx, qprior_sqrtw, qprior_mask,
+        plane_idx, plane_z, plane_sqrtw, plane_mask,
+    )
+
     n_dev = 1 if mesh is None else int(mesh.devices.size)
     S = max(n_submaps, n_dev)
     S = ((S + n_dev - 1) // n_dev) * n_dev  # multiple of mesh size
     part = partition_graph(
-        np.asarray(edges_ij), np.asarray(emask), V, S, fixed_np
+        np.asarray(edges_ij), np.asarray(emask), V, S, fixed_np,
+        unary_vid=u_vid,
     )
     axis = None if mesh is None else mesh.axis_names[0]
 
@@ -414,22 +569,36 @@ def optimize_pose_graph_schur(
     e_z = jnp.asarray(edges_z)
     e_ij = jnp.asarray(edges_ij)
     e_sw = jnp.asarray(edges_sqrtw) * jnp.asarray(emask)[:, None]
+    u_vid_d = jnp.asarray(u_vid, jnp.int32)
+    u_z_d = jnp.asarray(u_z)
+    u_sw_d = jnp.asarray(u_sw)
+    u_typ_d = jnp.asarray(u_typ)
 
     def chi2_of(p):
         r = jax.vmap(edge_residual)(p[e_ij[:, 0]], p[e_ij[:, 1]], e_z) * e_sw
-        return jnp.sum(r * r)
+        c = jnp.sum(r * r)
+        if u_vid.size:
+            ru = jax.vmap(_unary_residual)(p[u_vid_d], u_z_d, u_sw_d, u_typ_d)
+            c = c + jnp.sum(ru * ru)
+        return c
 
     consts = (
         jnp.asarray(part.e_idx), jnp.asarray(part.e_mask),
         jnp.asarray(part.cls), jnp.asarray(part.loc),
         jnp.asarray(part.sep_local2global), jnp.asarray(part.sep_l2g_mask),
         jnp.asarray(part.int_ids), jnp.asarray(part.int_mask),
+        jnp.asarray(part.u_idx), jnp.asarray(part.u_mask),
+        jnp.asarray(part.u_cls), jnp.asarray(part.u_loc),
+        jnp.asarray(part.u_gsep),
     )
+    repl = (e_ij, e_z, e_sw, u_vid_d, u_z_d, u_sw_d, u_typ_d)
 
-    def run(p0, e_ij, e_z, e_sw, *consts_dev):
+    def run(p0, e_ij, e_z, e_sw, u_vid, u_z, u_sw, u_typ, *consts_dev):
         def body(carry, _):
             p, done, iters = carry
-            new_p, dxn = step(p, *consts_dev, e_ij, e_z, e_sw)
+            new_p, dxn = step(
+                p, *consts_dev, e_ij, e_z, e_sw, u_vid, u_z, u_sw, u_typ
+            )
             small = dxn < params.converged_dx
             p = jnp.where(done, p, new_p)
             return (p, done | small, iters + jnp.where(done, 0, 1)), None
@@ -441,21 +610,17 @@ def optimize_pose_graph_schur(
         return out, iters
 
     if mesh is None:
-        out, iters = jax.jit(run)(jnp.asarray(poses), e_ij, e_z, e_sw, *consts)
+        out, iters = jax.jit(run)(jnp.asarray(poses), *repl, *consts)
     else:
         axis_n = mesh.axis_names[0]
         in_specs = (
-            P(), P(), P(), P(),
-            P(axis_n), P(axis_n), P(axis_n), P(axis_n),
-            P(axis_n), P(axis_n), P(axis_n), P(axis_n),
+            (P(),) * (1 + len(repl)) + (P(axis_n),) * len(consts)
         )
         shard_run = jax.shard_map(
             run, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
             check_vma=False,
         )
-        out, iters = jax.jit(shard_run)(
-            jnp.asarray(poses), e_ij, e_z, e_sw, *consts
-        )
+        out, iters = jax.jit(shard_run)(jnp.asarray(poses), *repl, *consts)
     return out, PoseGraphStats(
         chi2_of(jnp.asarray(poses)), chi2_of(out), iters
     )

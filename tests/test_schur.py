@@ -173,3 +173,112 @@ def test_multihost_scaffolding_single_process():
     pid, pn = multihost.process_info()
     assert (pid, pn) == (0, 1)
     assert multihost.shard_bounds(100) == (0, 100)
+
+
+def test_backend_schur_path_matches_replicated():
+    """LifelongBackend full solve via the Schur path reaches the replicated
+    solve's optimum (schur_min_vertices lowered to trigger on a small DB)."""
+    from lmsf_slam_tpu.backend import LifelongBackend, LifelongConfig, LoopConfig
+    from lmsf_slam_tpu.common.pointcloud import PointBatch
+
+    def _pb(seed, n=32):
+        rng = np.random.default_rng(seed)
+        return PointBatch.from_points(
+            rng.normal(size=(n, 3)).astype(np.float32) * 5, capacity=n
+        )
+
+    params = PoseGraphParams(gn_iters=20, pcg_iters=128, kernel="none",
+                             converged_dx=1e-7)
+
+    def drive(config):
+        backend = LifelongBackend(
+            config=config,
+            loop_config=LoopConfig(min_frame_interval=10**9),
+        )
+        rng = np.random.default_rng(0)
+        step = se3.se3_exp(jnp.asarray([0, 0, 0.07, 1.0, 0, 0], jnp.float32))
+        pose = se3.pose_identity()
+        for i in range(24):
+            noisy = se3.pose_compose(
+                pose, se3.se3_exp(jnp.asarray(rng.normal(0, 0.02, 6), jnp.float32))
+            )
+            backend.add_keyframe(0.1 * i, _pb(i), _pb(100 + i), np.asarray(noisy))
+            pose = se3.pose_compose(pose, step)
+        backend.optimize(full=True)
+        return backend.db.map_poses[:24].copy()
+
+    rep = drive(LifelongConfig(optimize_batch=10**9, pose_graph=params))
+    sch = drive(LifelongConfig(optimize_batch=10**9, pose_graph=params,
+                               schur_submaps=4, schur_min_vertices=8))
+    err = _geo_err(jnp.asarray(rep), jnp.asarray(sch))
+    assert err < 5e-3, err
+
+
+def test_schur_unary_priors_match_replicated():
+    """GNSS xyz + plane priors through the Schur path reach the same
+    anchored optimum as the replicated solver (both with fixed=all-False so
+    the priors provide the gauge)."""
+    poses, eij, ez, gt = _chain_graph(n=48, n_loops=0, noise=0.02, seed=9)
+    V, E = poses.shape[0], eij.shape[0]
+    sqrtw = jnp.ones((E, 6), jnp.float32) * 10.0
+    emask = jnp.ones(E, bool)
+    # GNSS anchors every 8th vertex at its ground-truth position
+    ids = np.arange(0, V, 8, dtype=np.int32)
+    K = 8
+    pidx = np.zeros(K, np.int32); pmask = np.zeros(K, bool)
+    pxyz = np.zeros((K, 3), np.float32)
+    pidx[: ids.size] = ids; pmask[: ids.size] = True
+    pxyz[: ids.size] = np.asarray(gt)[ids, 4:]
+    priors = dict(
+        prior_xyz=jnp.asarray(pxyz), prior_idx=jnp.asarray(pidx),
+        prior_sqrtw=jnp.full((K, 3), 10.0), prior_mask=jnp.asarray(pmask),
+        plane_idx=jnp.asarray(pidx), plane_z=jnp.zeros(K, jnp.float32),
+        plane_sqrtw=jnp.full((K, 3), 5.0), plane_mask=jnp.asarray(pmask),
+    )
+    free = jnp.zeros(V, bool)
+    p_rep = PoseGraphParams(gn_iters=40, pcg_iters=256, kernel="none",
+                            converged_dx=1e-7)
+    ref, ref_stats = optimize_pose_graph(
+        poses, jnp.ones(V, bool), eij, ez, sqrtw, emask, fixed=free,
+        params=p_rep, **priors,
+    )
+    p_s = PoseGraphParams(gn_iters=40, kernel="none", converged_dx=1e-7)
+    out, stats = optimize_pose_graph_schur(
+        poses, eij, ez, sqrtw, emask, n_submaps=4,
+        fixed=np.zeros(V, bool), params=p_s, **priors,
+    )
+    assert float(stats.chi2_final) <= float(ref_stats.chi2_final) * 1.05 + 1e-3
+    assert _geo_err(ref, out) < 5e-3
+    # priors actually anchor: anchored vertices end near their GNSS fixes
+    err = np.linalg.norm(np.asarray(out)[ids, 4:] - pxyz[: ids.size], axis=1)
+    assert err.max() < 0.15, err.max()
+
+
+def test_schur_unary_priors_on_mesh():
+    """Unary contributions shard correctly (interior into the owner shard,
+    separator into the psum'd global system)."""
+    poses, eij, ez, gt = _chain_graph(n=64, n_loops=6, noise=0.02, seed=11)
+    V, E = poses.shape[0], eij.shape[0]
+    sqrtw = jnp.ones((E, 6), jnp.float32) * 10.0
+    emask = jnp.ones(E, bool)
+    ids = np.arange(0, V, 6, dtype=np.int32)
+    K = 16
+    pidx = np.zeros(K, np.int32); pmask = np.zeros(K, bool)
+    pxyz = np.zeros((K, 3), np.float32)
+    pidx[: ids.size] = ids; pmask[: ids.size] = True
+    pxyz[: ids.size] = np.asarray(gt)[ids, 4:]
+    priors = dict(
+        prior_xyz=pxyz, prior_idx=pidx,
+        prior_sqrtw=np.full((K, 3), 10.0, np.float32), prior_mask=pmask,
+    )
+    params = PoseGraphParams(gn_iters=8, kernel="none")
+    base, _ = optimize_pose_graph_schur(
+        poses, eij, ez, sqrtw, emask, n_submaps=8,
+        fixed=np.zeros(V, bool), params=params, **priors,
+    )
+    mesh = make_mesh(8, backend="cpu")
+    out, _ = optimize_pose_graph_schur(
+        poses, eij, ez, sqrtw, emask, n_submaps=8, mesh=mesh,
+        fixed=np.zeros(V, bool), params=params, **priors,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-3)
