@@ -68,11 +68,37 @@ def system_config_from_dict(doc: dict) -> SystemConfig:
     return _merge(SystemConfig(), doc)
 
 
+class _StrictLoader(yaml.SafeLoader):
+    """SafeLoader that rejects duplicate mapping keys.
+
+    PyYAML silently keeps the LAST occurrence, so a stray re-declaration at
+    the bottom of a config file would override the documented value without
+    any diagnostic — the same fail-loudly policy as unknown keys."""
+
+
+def _strict_mapping(loader, node, deep=False):
+    seen = set()
+    for key_node, _ in node.value:
+        key = loader.construct_object(key_node, deep=deep)
+        if key in seen:
+            raise KeyError(
+                f"duplicate config key {key!r} (line {key_node.start_mark.line + 1})"
+            )
+        seen.add(key)
+    return yaml.SafeLoader.construct_mapping(loader, node, deep)
+
+
+_StrictLoader.add_constructor(
+    yaml.resolver.BaseResolver.DEFAULT_MAPPING_TAG, _strict_mapping
+)
+
+
 def system_config_from_yaml(path: str) -> SystemConfig:
     """Load a SystemConfig from a YAML file (reference factory entry:
-    `ML_SystemFactory` built from a YAML path, `MultiLidarSLAM_node.cpp:71`)."""
+    `ML_SystemFactory` built from a YAML path, `MultiLidarSLAM_node.cpp:71`).
+    Unknown AND duplicate keys fail loudly."""
     with open(path) as f:
-        doc = yaml.safe_load(f)
+        doc = yaml.load(f, Loader=_StrictLoader)
     return system_config_from_dict(doc)
 
 

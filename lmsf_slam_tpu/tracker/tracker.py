@@ -42,6 +42,15 @@ class TrackerConfig(NamedTuple):
     edge_map_capacity: int = 8192  # downsampled map capacities (static)
     surf_map_capacity: int = 16384
     registration: RegistrationParams = RegistrationParams()
+    # odometry failure gate (the front-end analog of the reference LIO's
+    # failureDetection |v|>30 m/s reset, `imuPreintegration_node.cpp:510`):
+    # a single ill-conditioned solve must not poison the constant-velocity
+    # model — an implausible increment is rejected (pose falls back to the
+    # prediction) and, if the prediction itself is implausible, the velocity
+    # resets to zero so the tracker re-anchors on its local map instead of
+    # dead-reckoning to infinity.
+    max_motion_trans: float = 10.0  # m/frame (100 m/s at 10 Hz — insanity floor)
+    max_motion_rot: float = 1.5  # rad/frame
 
 
 class TrackerState(NamedTuple):
@@ -102,6 +111,23 @@ def tracker_step(
     )
     # first frame: no map yet — stay at identity
     new_pose = jnp.where(first, se3.pose_identity(), reg.pose)
+
+    def _sane(p):
+        d = se3.pose_between(state.pose, p)
+        return (
+            (jnp.linalg.norm(se3.pose_trans(d)) <= config.max_motion_trans)
+            & (jnp.linalg.norm(se3.so3_log(se3.pose_quat(d)))
+               <= config.max_motion_rot)
+            & jnp.all(jnp.isfinite(p))
+        )
+
+    # odometry failure gate: reject an implausible solve (fall back to the
+    # prediction), and if even the prediction is implausible zero the
+    # velocity — hold position and re-anchor on the local map next frame
+    solve_ok = _sane(new_pose)
+    new_pose = jnp.where(solve_ok, new_pose, prediction)
+    pred_ok = _sane(new_pose)
+    new_pose = jnp.where(pred_ok, new_pose, state.pose)
     motion = se3.pose_between(state.pose, new_pose)
 
     # map-update decision (ref thresholds :239-262)
@@ -118,7 +144,7 @@ def tracker_step(
     # map (the reference falls back on non-convergence at the backend,
     # `backend_lifelong.hpp:284-289`; here the map simply skips the frame —
     # a later converged frame at the same place inserts instead)
-    need = need & (first | reg.converged)
+    need = need & (first | (reg.converged & solve_ok))
 
     edge_w = edge.transform(new_pose)
     surf_w = surf.transform(new_pose)

@@ -104,10 +104,26 @@ def run_city(args):
         map_update_trans=0.5,
         keyframe_trans=2.0,
         async_backend=not args.sync,
-        lifelong=LifelongConfig(optimize_window=100),
-        loop=LoopConfig(  # reference gates, unrelaxed
+        # the degeneracy floor is an absolute eigenvalue of JᵀJ and scales
+        # with point count — 10 (not the reference's 100) everywhere the
+        # solver runs at our down-selected feature density, including the
+        # loop verifier whose 6/6-constraint accept gate reads it
+        lifelong=LifelongConfig(
+            optimize_window=100,
+            localization_params=RegistrationParams(
+                max_iters=8, max_corr_dist=2.0, degen_thresh=10.0
+            ),
+        ),
+        loop=LoopConfig(  # reference score gates, unrelaxed
             min_frame_interval=30, exclude_recent=15, detect_spacing=2,
             search_radius=8.0, adjacent_window=4,
+            rough_params=RegistrationParams(
+                max_iters=8, max_corr_dist=4.0, huber_delta=2.0,
+                degen_thresh=10.0,
+            ),
+            refine_params=RegistrationParams(
+                max_iters=10, max_corr_dist=1.0, degen_thresh=10.0
+            ),
         ),
     )
     system = MultiLidarSystem(config)
@@ -130,6 +146,88 @@ def run_city(args):
     wall = time.perf_counter() - t0
     est = system.trajectory()
     gt = np.asarray(se3.pose_between(traj[0], traj[:n]))
+    return system, est, gt, wall, lat
+
+
+def run_city_lifelong(args):
+    """Lifelong phase at city scale: boot from the saved database of a prior
+    `--dataset city --save-db` run, auto-relocalize (reference `SystemLoad` →
+    RELOCALIZATION, `ML_System.hpp:202-206`, `backend_lifelong.hpp:97-118`),
+    then localize through a revisited segment of the course. Estimates are in
+    the ORIGINAL session's map frame, so ATE vs that frame proves the
+    relocalization transform, not just local consistency."""
+    from lmsf_slam_tpu.datasets.city import (
+        HDL64, make_city_course, make_city_world,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    world = make_city_world(key)
+    traj = jnp.asarray(make_city_course())
+    start = args.start if args.start else traj.shape[0] // 2
+    n = args.frames or 150
+    seg = traj[start:start + n]
+
+    config = SystemConfig(
+        feature=FeatureParams(
+            rings=HDL64["rings"], width=HDL64["width"],
+            sectors=6, edges_per_sector=4, surfs_per_sector=8,
+            range_noise=0.01, exclude_ground_edges=True,
+            one_sided_occlusion=True,
+        ),
+        registration=RegistrationParams(
+            max_iters=8, max_corr_dist=2.0, degen_thresh=10.0
+        ),
+        map_update_trans=0.5,
+        keyframe_trans=2.0,
+        async_backend=False,  # mode transitions observed synchronously
+        lifelong=LifelongConfig(
+            optimize_window=100,
+            localization_params=RegistrationParams(
+                max_iters=8, max_corr_dist=2.0, degen_thresh=10.0
+            ),
+        ),
+        loop=LoopConfig(
+            min_frame_interval=30, exclude_recent=15, detect_spacing=2,
+            search_radius=8.0, adjacent_window=4,
+            rough_params=RegistrationParams(
+                max_iters=8, max_corr_dist=4.0, huber_delta=2.0,
+                degen_thresh=10.0,
+            ),
+            refine_params=RegistrationParams(
+                max_iters=10, max_corr_dist=1.0, degen_thresh=10.0
+            ),
+        ),
+    )
+    system = MultiLidarSystem.load(args.boot_from, config=config)
+    modes = []
+    lat = []
+    t0 = time.perf_counter()
+    for i in range(seg.shape[0]):
+        scan = simulate_scan(
+            world, seg[i], jax.random.fold_in(key, 10_000 + i),
+            rings=HDL64["rings"], width=HDL64["width"],
+            elev_min=HDL64["elev_min"], elev_max=HDL64["elev_max"],
+            max_range=80.0, min_range=2.5, noise=0.01,
+        )
+        tf = time.perf_counter()
+        system.process(scan, 0.1 * i)
+        lat.append(time.perf_counter() - tf)
+        modes.append(system.backend.mode.name)
+        if args.progress and i % 50 == 0:
+            print(f"# frame {i}/{seg.shape[0]} mode={modes[-1]}",
+                  file=sys.stderr)
+    system.flush()
+    wall = time.perf_counter() - t0
+    est = system.trajectory()
+    # ground truth in the original session's map frame (origin = course[0])
+    gt = np.asarray(se3.pose_between(traj[0], seg))
+    # frames before relocalization have no map pose — evaluate from the
+    # first localized frame
+    first = next(
+        (i for i, m in enumerate(modes) if m != "RELOCALIZATION"), None)
+    if first is not None:
+        est, gt = est[first:], gt[first:]
+    system._lifelong_modes = modes  # picked up by main() for reporting
     return system, est, gt, wall, lat
 
 
@@ -178,14 +276,26 @@ def main():
     ap.add_argument("--out", default="eval_out")
     ap.add_argument("--sync", action="store_true",
                     help="run the backend inline instead of pipelined")
+    ap.add_argument("--save-db", default="",
+                    help="save the lifelong database here after the run")
+    ap.add_argument("--boot-from", default="",
+                    help="city: boot from a saved database and relocalize")
+    ap.add_argument("--start", type=int, default=0,
+                    help="city lifelong: course frame to start the reboot at")
     args = ap.parse_args()
 
     if args.dataset == "sim":
         system, est, gt, wall, lat = run_sim(args)
     elif args.dataset == "city":
-        system, est, gt, wall, lat = run_city(args)
+        if args.boot_from:
+            system, est, gt, wall, lat = run_city_lifelong(args)
+        else:
+            system, est, gt, wall, lat = run_city(args)
     else:
         system, est, gt, wall, lat = run_kitti(args)
+
+    if args.save_db:
+        system.save(args.save_db)
 
     os.makedirs(args.out, exist_ok=True)
     save_kitti_trajectory(est, os.path.join(args.out, "est_path.txt"))
@@ -204,6 +314,10 @@ def main():
     g = system.backend.db.graph_arrays()
     ij = np.asarray(g.edges_ij)[np.asarray(g.emask)]
     result["loop_edges"] = int(np.sum(np.abs(ij[:, 0] - ij[:, 1]) > 1))
+    modes = getattr(system, "_lifelong_modes", None)
+    if modes is not None:
+        result["reloc_frames"] = sum(m == "RELOCALIZATION" for m in modes)
+        result["modes_seen"] = sorted(set(modes))
     if gt is not None:
         save_kitti_trajectory(gt, os.path.join(args.out, "ground_truth.txt"))
         s = ate_stats(est, gt)

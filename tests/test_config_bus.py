@@ -18,6 +18,15 @@ def test_yaml_roundtrip_default_file():
     assert abs(cfg.keyframe_rot - math.radians(30)) < 1e-9
     assert cfg.loop.min_frame_interval == 100
     assert cfg.lifelong.optimize_batch == 10
+    # the production default: backend pipelined on a worker thread
+    assert cfg.async_backend is True
+
+
+def test_duplicate_key_fails_loudly(tmp_path):
+    p = tmp_path / "dup.yaml"
+    p.write_text("async_backend: true\nkeyframe_trans: 1.0\nasync_backend: false\n")
+    with pytest.raises(KeyError, match="duplicate config key 'async_backend'"):
+        system_config_from_yaml(str(p))
 
 
 def test_unknown_key_fails_loudly():

@@ -74,7 +74,10 @@ def test_evaluate_alignment_good_vs_bad():
     )
     bad_pose = make_pose([0, 0, 0.5], [3.0, 3.0, 0.0])
     bad_score, _ = registration.evaluate_alignment(ds, ds, bad_pose, inlier_dist=1.0)
-    assert float(good_score) < 1e-4
+    # point-to-plane scoring: the perfect-alignment floor is set by corner
+    # neighborhoods' plane-fit residual (~1e-4 at 0.3 m voxel density), far
+    # below the reference's 0.04/0.05 accept gates
+    assert float(good_score) < 1e-3
     assert float(good_overlap) > 0.99
     assert float(bad_score) > float(good_score) * 100
 

@@ -75,3 +75,56 @@ def test_tracker_map_update_gating():
     state, out = tracker_step(state, pb, pb, jnp.float32(0.1), config)
     assert not bool(out.map_updated)  # thresholds unreachable
     assert int(state.edge_map.count) == 1
+
+
+def test_tracker_odometry_failure_gate():
+    """A poisoned constant-velocity model (one insane increment) must not
+    dead-reckon to infinity: the implausible solve/prediction is rejected,
+    the velocity resets, and the tracker holds position (the front-end analog
+    of the reference LIO failureDetection, `imuPreintegration_node.cpp:510`)."""
+    key = jax.random.PRNGKey(1)
+    world = make_world(key, extent=25.0, n_pillars=40, n_ground=4000, n_wall=2000)
+    n_frames = 26  # ≈0.63 m/frame over a 40-frame-circle parametrization
+    traj = make_trajectory(40, radius=8.0, loop=False)
+    config = TrackerConfig(
+        window=8, edge_capacity=256, surf_capacity=1024,
+        map_update_trans=0.2,
+        registration=RegistrationParams(max_iters=8, max_corr_dist=2.0),
+    )
+    state = tracker_init(config)
+    poison_at = 20
+    for i in range(poison_at):
+        edge, surf = scan_at(
+            world, traj[i], jax.random.fold_in(key, i),
+            n_edge=256, n_surf=1024, noise=0.01,
+        )
+        state, out = tracker_step(state, edge, surf, jnp.float32(0.1 * i), config)
+    sane_pose = np.asarray(state.pose)
+
+    # poison the motion model with a 1e10 m/frame velocity (what an
+    # unguarded degenerate solve once produced)
+    bad_motion = np.array([1, 0, 0, 0, 1e10, 0, 0], np.float32)
+    state = state._replace(motion=jnp.asarray(bad_motion))
+    edge, surf = scan_at(
+        world, traj[poison_at], jax.random.fold_in(key, poison_at),
+        n_edge=256, n_surf=1024, noise=0.01,
+    )
+    state, out = tracker_step(
+        state, edge, surf, jnp.float32(0.1 * poison_at), config
+    )
+    # pose held (not teleported), velocity reset to something plausible
+    assert (
+        np.linalg.norm(np.asarray(out.pose)[4:] - sane_pose[4:])
+        < config.max_motion_trans
+    )
+    assert np.linalg.norm(np.asarray(state.motion)[4:]) < config.max_motion_trans
+    # and the tracker recovers: subsequent frames re-anchor on the local map
+    for i in range(poison_at, n_frames):
+        edge, surf = scan_at(
+            world, traj[i], jax.random.fold_in(key, i),
+            n_edge=256, n_surf=1024, noise=0.01,
+        )
+        state, out = tracker_step(state, edge, surf, jnp.float32(0.1 * i), config)
+    gt_rel = se3.pose_between(traj[0], traj[n_frames - 1])
+    err = se3.pose_between(gt_rel, out.pose)
+    assert float(jnp.linalg.norm(se3.pose_trans(err))) < 0.3
