@@ -164,23 +164,44 @@ def bench_posegraph():
     E = eij.shape[0]
     sqrtw = jnp.ones((E, 6), jnp.float32) * 20.0
     emask = jnp.ones(E, bool)
+    # per-edge robust policy: kernel on the 96 loop edges only (the
+    # production marking from KeyframeDatabase.eloop)
+    erobust = jnp.arange(E) >= (V - 1)
     params = PoseGraphParams(gn_iters=12, pcg_iters=64)
 
     out, stats = optimize_pose_graph(
-        init, jnp.ones(V, bool), eij, ez, sqrtw, emask, params=params)
+        init, jnp.ones(V, bool), eij, ez, sqrtw, emask,
+        edges_robust=erobust, params=params)
     jax.block_until_ready(out)
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
         out, stats = optimize_pose_graph(
-            init, jnp.ones(V, bool), eij, ez, sqrtw, emask, params=params)
+            init, jnp.ones(V, bool), eij, ez, sqrtw, emask,
+            edges_robust=erobust, params=params)
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / n * 1e3
-    return ms, float(stats.chi2_initial), float(stats.chi2_final)
+    # solve quality: ATE of the optimized trajectory vs ground truth, and
+    # chi2 collapse to within 10× of the odometry noise floor — the
+    # round-3 global-DCS policy left chi2 at 86% of initial (loops vetoed);
+    # the per-edge policy must actually bend the graph
+    ate = float(jnp.sqrt(jnp.mean(
+        jnp.sum((out[:, 4:] - gt[:, 4:]) ** 2, axis=-1))))
+    chi2_0, chi2_1 = float(stats.chi2_initial), float(stats.chi2_final)
+    # noise floor: E[chi2] ≈ 6·(V−1) for whitened unit residuals; the odom
+    # perturbations were drawn at σ=0.02 vs sqrtw 20 → ~0.16·6·V
+    floor = 0.16 * 6 * (V - 1)
+    assert chi2_1 < 10 * floor, (chi2_1, floor)
+    assert ate < 1.0, ate
+    return ms, chi2_0, chi2_1, ate
 
 
-def bench_system(world, traj, key):
-    """Public System.process() loop with the synchronous backend inline."""
+def bench_system(world, traj, key, pipelined: bool):
+    """Public System.process() loop: ``pipelined`` runs the production
+    configuration (backend on a worker thread + windowed re-solves, as
+    `config/default.yaml` and evaluate.py ship); sync runs the backend
+    inline — the worst-case per-frame envelope."""
+    from lmsf_slam_tpu.backend.lifelong import LifelongConfig
     from lmsf_slam_tpu.system.ml_system import (
         FeatureParams, MultiLidarSystem, SystemConfig,
     )
@@ -191,6 +212,9 @@ def bench_system(world, traj, key):
             edges_per_sector=EDGES_PS, surfs_per_sector=SURFS_PS,
         ),
         registration=RegistrationParams(max_iters=10),
+        async_backend=pipelined,
+        lifelong=LifelongConfig(optimize_window=50) if pipelined
+        else LifelongConfig(),
     )
     system = MultiLidarSystem(config)
     scans = [
@@ -201,11 +225,18 @@ def bench_system(world, traj, key):
     jax.block_until_ready(scans[-1].xyz)
     for i in range(N_WARM):
         system.process(scans[i], 0.1 * i)
+    if pipelined:
+        system.flush()  # warmup compiles drained off the clock
     t0 = time.perf_counter()
     for i in range(N_FRAMES):
         system.process(scans[N_WARM + i], 0.1 * (N_WARM + i))
+    if pipelined:
+        # throughput includes draining the backend queue: every keyframe's
+        # backend work must be finished for the rate to be sustainable
+        system.flush()
     dt = time.perf_counter() - t0
-    system.flush()
+    if not pipelined:
+        system.flush()
     return N_FRAMES / dt
 
 
@@ -218,8 +249,9 @@ def main():
 
     fps = bench_frontend(world, traj, key)
     reg = bench_registration(world, traj, key)
-    pg_ms, chi2_0, chi2_1 = bench_posegraph()
-    sys_fps = bench_system(world, traj, key)
+    pg_ms, chi2_0, chi2_1, pg_ate = bench_posegraph()
+    sys_fps = bench_system(world, traj, key, pipelined=False)
+    pipe_fps = bench_system(world, traj, key, pipelined=True)
 
     baseline_fps = 1000.0 / BASELINE_SCAN_MAP_MS
     print(json.dumps({
@@ -239,10 +271,12 @@ def main():
             "posegraph_1905v_ms": {
                 "value": round(pg_ms, 1), "unit": "ms",
                 "chi2": [round(chi2_0, 1), round(chi2_1, 3)],
+                "solve_ate_m": round(pg_ate, 4),
             },
             "e2e_system_fps": {
-                "value": round(sys_fps, 2), "unit": "frames/s",
-                "vs_baseline": round(sys_fps / baseline_fps, 2),
+                "value": round(pipe_fps, 2), "unit": "frames/s",
+                "vs_baseline": round(pipe_fps / baseline_fps, 2),
+                "sync_fps": round(sys_fps, 2),
             },
         },
     }))

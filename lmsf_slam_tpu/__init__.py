@@ -20,3 +20,18 @@ import jax as _jax
 # precision (e.g. k-NN candidate selection, descriptor search) opt in
 # explicitly via `precision=` at the call site.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: registrations/solvers are recompiled per
+# static shape, and on-chip compiles over the remote-TPU tunnel run minutes;
+# caching them on disk amortizes the cost across processes (evaluate.py,
+# bench.py, services). Opt out with LMSF_NO_COMPILE_CACHE=1; override the
+# location with JAX_COMPILATION_CACHE_DIR.
+import os as _os
+
+if not _os.environ.get("LMSF_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), _os.pardir, ".jax_cache"
+    )
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -42,6 +42,7 @@ class GraphArrays(NamedTuple):
     edges_z: jax.Array  # (E, 7)
     edges_sqrtw: jax.Array  # (E, 6)
     emask: jax.Array  # (E,)
+    erobust: jax.Array  # (E,) — robust kernel applies (loop edges)
 
 
 def _grow(arr: np.ndarray, new_cap: int) -> np.ndarray:
@@ -116,6 +117,10 @@ class KeyframeDatabase:
         self.eij = np.zeros((n, 2), np.int32)
         self.ez = np.zeros((n, 7), np.float32)
         self.esqrtw = np.zeros((n, 6), np.float32)
+        # edge kind: False = odometry/sequential, True = loop closure —
+        # drives the per-edge robust-kernel policy (the reference's
+        # SetEdgeRobustKernel selectivity, `graph_optimization.hpp:19-47`)
+        self.eloop = np.zeros(n, bool)
         # device-resident search mirror (descriptors, ring keys, positions):
         # appended incrementally, so loop/reloc candidate search never
         # re-uploads O(N) host state per query (the reference's incremental
@@ -175,6 +180,7 @@ class KeyframeDatabase:
         self.eij = _grow(self.eij, new)
         self.ez = _grow(self.ez, new)
         self.esqrtw = _grow(self.esqrtw, new)
+        self.eloop = _grow(self.eloop, new)
 
     def add_keyframe(
         self,
@@ -225,11 +231,13 @@ class KeyframeDatabase:
         self.n_keyframes = i + 1
         return i
 
-    def add_edge(self, i: int, j: int, z, noise=None) -> int:
+    def add_edge(self, i: int, j: int, z, noise=None, loop: bool = False) -> int:
         """Between-edge i→j with per-dim noise (σ²); information = 1/noise
         (reference `graph_optimization_g2o.cpp:108-183`). Default noise is
         the reference's hardcoded odometry noise [0.0025×3 trans, 1e-4×3 rot]
-        (`backend_lifelong.hpp:456-475`)."""
+        (`backend_lifelong.hpp:456-475`). ``loop`` marks the edge as a loop
+        closure: the graph solve applies its robust kernel only to loop
+        edges (reference per-edge `SetEdgeRobustKernel`)."""
         if noise is None:
             noise = np.array([1e-4] * 3 + [0.0025] * 3)  # [rot, trans] order
         e = self.n_edges
@@ -237,6 +245,7 @@ class KeyframeDatabase:
         self.eij[e] = (i, j)
         self.ez[e] = np.asarray(z, np.float32)
         self.esqrtw[e] = 1.0 / np.sqrt(np.asarray(noise, np.float64))
+        self.eloop[e] = bool(loop)
         self.n_edges = e + 1
         return e
 
@@ -303,10 +312,12 @@ class KeyframeDatabase:
         ez[:, 0] = 1.0
         esw = np.zeros((E, 6), np.float32)
         emask = np.zeros(E, bool)
+        erob = np.zeros(E, bool)
         eij[: self.n_edges] = self.eij[: self.n_edges]
         ez[: self.n_edges] = self.ez[: self.n_edges]
         esw[: self.n_edges] = self.esqrtw[: self.n_edges]
         emask[: self.n_edges] = True
+        erob[: self.n_edges] = self.eloop[: self.n_edges]
         return GraphArrays(
             jnp.asarray(poses),
             jnp.asarray(vmask),
@@ -314,6 +325,7 @@ class KeyframeDatabase:
             jnp.asarray(ez),
             jnp.asarray(esw),
             jnp.asarray(emask),
+            jnp.asarray(erob),
         )
 
     def update_poses(self, optimized: np.ndarray):
@@ -431,6 +443,7 @@ class KeyframeDatabase:
             eij=self.eij[:e],
             ez=self.ez[:e],
             esqrtw=self.esqrtw[:e],
+            eloop=self.eloop[:e],
             gnss_pos=self.gnss_pos[:n],
             gnss_valid=self.gnss_valid[:n],
             edge_capacity=self.edge_capacity,
@@ -528,4 +541,6 @@ class KeyframeDatabase:
         db.eij[:e] = z["eij"]
         db.ez[:e] = z["ez"]
         db.esqrtw[:e] = z["esqrtw"]
+        if "eloop" in z:
+            db.eloop[:e] = z["eloop"]
         return db

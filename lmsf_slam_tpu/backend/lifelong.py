@@ -45,6 +45,7 @@ from ..ops.registration import (
     evaluate_alignment,
     register_edge_surf,
 )
+from ..utils.profiling import StageTimer
 from .keyframe_db import KeyframeDatabase
 from .loop_closure import LoopConfig, LoopDetector
 from .pose_graph import PoseGraphParams, optimize_pose_graph
@@ -154,7 +155,11 @@ class LifelongBackend:
     ):
         self.db = db if db is not None else KeyframeDatabase()
         self.config = config
-        self.loop_detector = LoopDetector(loop_config)
+        # per-stage wall-clock aggregation (the reference's TicToc CSVs,
+        # `tic_toc.h:11-42` + `slam_data/time/*.csv`); shared with the loop
+        # detector, read via ``timer.stats()`` — evaluate.py exports it
+        self.timer = StageTimer()
+        self.loop_detector = LoopDetector(loop_config, timer=self.timer)
         # boot semantics: empty DB → MAPPING; loaded DB → RELOCALIZATION
         # (reference Load() backend_lifelong.hpp:97-118)
         if mode is None:
@@ -287,14 +292,17 @@ class LifelongBackend:
     ) -> BackendOutput:
         cfg = self.config
         pred = jnp.asarray(self._map_pose(odom_pose))
-        map_edge, map_surf = self._knn_local_map(np.asarray(pred)[4:])
-        reg = register_edge_surf(
-            edge, surf, map_edge, map_surf, pred, cfg.localization_params
-        )
-        score, overlap = evaluate_alignment(
-            surf, map_surf, reg.pose, min_overlap=cfg.localization_min_overlap
-        )
-        score, overlap = float(score), float(overlap)
+        with self.timer("loc_localmap"):
+            map_edge, map_surf = self._knn_local_map(np.asarray(pred)[4:])
+        with self.timer("loc_register"):
+            reg = register_edge_surf(
+                edge, surf, map_edge, map_surf, pred, cfg.localization_params
+            )
+            score, overlap = evaluate_alignment(
+                surf, map_surf, reg.pose,
+                min_overlap=cfg.localization_min_overlap,
+            )
+            score, overlap = float(score), float(overlap)
 
         if score > cfg.lost_score:
             # localization lost (:324-352)
@@ -362,9 +370,10 @@ class LifelongBackend:
     ) -> BackendOutput:
         cfg = self.config
         map_pose = self._map_pose(odom_pose)
-        kf_id = self.db.add_keyframe(
-            stamp, odom_pose, map_pose, edge, surf, gnss_pos=gnss_pos
-        )
+        with self.timer("kf_insert"):
+            kf_id = self.db.add_keyframe(
+                stamp, odom_pose, map_pose, edge, surf, gnss_pos=gnss_pos
+            )
         if kf_id > 0:
             z = se3.pose_between(
                 jnp.asarray(self.db.map_poses[kf_id - 1]), jnp.asarray(map_pose)
@@ -374,15 +383,20 @@ class LifelongBackend:
                 np.array([cfg.odom_noise_rot] * 3 + [cfg.odom_noise_trans] * 3),
             )
         self._pending += 1
-        self._on_keyframe_stored(kf_id, scan_grid)
+        with self.timer("kf_hooks"):
+            self._on_keyframe_stored(kf_id, scan_grid)
 
-        loop = self.loop_detector.detect(self.db, kf_id, edge, surf)
+        with self.timer("loop_detect"):
+            loop = self.loop_detector.detect(self.db, kf_id, edge, surf)
         loop_closed = loop is not None
         if loop_closed:
-            self.db.add_edge(loop.from_id, loop.to_id, loop.z, loop.noise)
+            self.db.add_edge(
+                loop.from_id, loop.to_id, loop.z, loop.noise, loop=True
+            )
 
         if loop_closed or self._pending >= cfg.optimize_batch:
-            self.optimize(full=loop_closed)
+            with self.timer("optimize_full" if loop_closed else "optimize_win"):
+                self.optimize(full=loop_closed)
             self._pending = 0
             map_pose = self.db.map_poses[kf_id].copy()
             self._set_odom2map(map_pose, odom_pose)
@@ -506,6 +520,7 @@ class LifelongBackend:
                 g.poses, g.edges_ij, g.edges_z, g.edges_sqrtw, g.emask,
                 n_submaps=self.config.schur_submaps,
                 fixed=fixed_np,
+                edges_robust=g.erobust,
                 params=self.config.pose_graph,
                 **priors,
             )
@@ -514,6 +529,7 @@ class LifelongBackend:
                 g.poses, g.vmask, g.edges_ij, g.edges_z, g.edges_sqrtw,
                 g.emask,
                 fixed=fixed,
+                edges_robust=g.erobust,
                 params=self.config.pose_graph,
                 **priors,
             )

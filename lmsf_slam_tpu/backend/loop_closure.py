@@ -58,14 +58,27 @@ class LoopConfig(NamedTuple):
     # appearance path so a wrong-basin registration in a self-similar world
     # cannot rewrite the trajectory (set to inf for kidnapped-robot regimes).
     max_correction_trans: float = 10.0
-    # loop-edge noise (σ²) [rot×3, trans×3] — reference fixed loop noise
+    # loop-edge noise (σ²) [rot×3, trans×3] at the WORST accepted
+    # verification score; the information matrix is scaled by the fitness
+    # score (reference `information_matrix_calculator.hpp:43-52`: fitness →
+    # interpolated information weight), so a tightly-verified loop carries a
+    # stiffer edge than one that barely passed the gate. The σ scale factor
+    # interpolates linearly in score from ``loop_info_best_scale`` (at
+    # score ≤ loop_score_best) to 1.0 (at score = refine_score_thresh).
     loop_noise_rot: float = 0.0025
     loop_noise_trans: float = 0.01
+    loop_score_best: float = 0.005  # scores at/below this get the stiffest edge
+    loop_info_best_scale: float = 0.3  # σ multiplier at the best score
+    # verification registrations use the match-count-normalized degeneracy
+    # floor (0.01·n_matches): the 6/6-constraint accept gate must measure
+    # geometry, not feature density (the reference's absolute floor of 100
+    # is calibrated to its dense raw scans and mis-reads 4-5/6 at feature
+    # counts — see RegistrationParams.degen_rel)
     rough_params: RegistrationParams = RegistrationParams(
-        max_iters=8, max_corr_dist=4.0, huber_delta=2.0
+        max_iters=8, max_corr_dist=4.0, huber_delta=2.0, degen_rel=0.01
     )
     refine_params: RegistrationParams = RegistrationParams(
-        max_iters=10, max_corr_dist=1.0
+        max_iters=10, max_corr_dist=1.0, degen_rel=0.01
     )
 
 
@@ -88,8 +101,11 @@ class RelocResult(NamedTuple):
 class LoopDetector:
     """Host-orchestrated loop detection over device search/verify kernels."""
 
-    def __init__(self, config: LoopConfig = LoopConfig()):
+    def __init__(self, config: LoopConfig = LoopConfig(), timer=None):
+        from ..utils.profiling import StageTimer
+
         self.config = config
+        self.timer = timer if timer is not None else StageTimer()
         self._last_attempt = -(10**9)
 
     # -- candidate search ---------------------------------------------------
@@ -131,19 +147,23 @@ class LoopDetector:
         overlap) or None. ``init_pose`` is the map-frame initial guess of the
         query scan."""
         cfg = self.config
-        map_edge, map_surf = db.local_map(cand_id, cfg.adjacent_window)
-        rough = register_edge_surf(
-            edge_pb, surf_pb, map_edge, map_surf, jnp.asarray(init_pose),
-            cfg.rough_params,
-        )
-        score, overlap = evaluate_alignment(
-            surf_pb, map_surf, rough.pose, min_overlap=cfg.min_overlap
-        )
+        with self.timer("loop_localmap"):
+            map_edge, map_surf = db.local_map(cand_id, cfg.adjacent_window)
+        with self.timer("loop_rough"):
+            rough = register_edge_surf(
+                edge_pb, surf_pb, map_edge, map_surf, jnp.asarray(init_pose),
+                cfg.rough_params,
+            )
+            score, overlap = evaluate_alignment(
+                surf_pb, map_surf, rough.pose, min_overlap=cfg.min_overlap
+            )
         if float(score) > cfg.rough_score_thresh:
             return None
-        refined = register_edge_surf(
-            edge_pb, surf_pb, map_edge, map_surf, rough.pose, cfg.refine_params
-        )
+        with self.timer("loop_refine"):
+            refined = register_edge_surf(
+                edge_pb, surf_pb, map_edge, map_surf, rough.pose,
+                cfg.refine_params,
+            )
         # a loop edge must be fully constrained: 6/6 eigendirections of JᵀJ
         # above the degeneracy floor AND a converged solve — a ground-plane-
         # only or corridor match (x/y/yaw free) can score well yet fix
@@ -151,9 +171,10 @@ class LoopDetector:
         # applied at accept time, not just solve time)
         if not bool(refined.converged) or int(refined.n_constrained) < 6:
             return None
-        score, overlap = evaluate_alignment(
-            surf_pb, map_surf, refined.pose, min_overlap=cfg.min_overlap
-        )
+        with self.timer("loop_refine"):
+            score, overlap = evaluate_alignment(
+                surf_pb, map_surf, refined.pose, min_overlap=cfg.min_overlap
+            )
         if float(score) > cfg.refine_score_thresh:
             return None
         return np.asarray(refined.pose), float(score), float(overlap)
@@ -175,7 +196,8 @@ class LoopDetector:
         self._last_attempt = new_id
 
         query_sc = jnp.asarray(db.sc[new_id])
-        cand = self._sc_candidate(db, query_sc, new_id)
+        with self.timer("loop_search"):
+            cand = self._sc_candidate(db, query_sc, new_id)
         if cand is not None:
             # appearance candidate: init at the candidate pose rotated by the
             # scan-context yaw alignment (the SC match carries no translation)
@@ -213,10 +235,22 @@ class LoopDetector:
         z = np.asarray(
             se3.pose_between(jnp.asarray(db.map_poses[cand_id]), jnp.asarray(pose_new))
         )
-        noise = np.array(
-            [self.config.loop_noise_rot] * 3 + [self.config.loop_noise_trans] * 3
-        )
+        noise = self.edge_noise(score)
         return LoopResult(cand_id, new_id, z, noise, score, overlap)
+
+    def edge_noise(self, score: float) -> np.ndarray:
+        """Fitness-score → loop-edge noise (σ²), the reference's
+        score-scaled information matrix (`information_matrix_calculator.hpp:
+        43-52`): σ is interpolated from ``loop_info_best_scale``·σ_base at
+        ``loop_score_best`` up to σ_base at the accept threshold."""
+        cfg = self.config
+        lo, hi = cfg.loop_score_best, max(cfg.refine_score_thresh, 1e-9)
+        t = float(np.clip((score - lo) / max(hi - lo, 1e-9), 0.0, 1.0))
+        s = cfg.loop_info_best_scale + t * (1.0 - cfg.loop_info_best_scale)
+        base = np.array(
+            [cfg.loop_noise_rot] * 3 + [cfg.loop_noise_trans] * 3
+        )
+        return base * (s * s)
 
     def relocalize(
         self,

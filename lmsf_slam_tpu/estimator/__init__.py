@@ -9,3 +9,4 @@ from .eskf import (
     static_initialize,
 )
 from .gnss import EnuFrame, lla_to_ecef, lla_to_enu, make_enu_frame
+from .nmea import NmeaFix, NmeaStream, parse_nmea

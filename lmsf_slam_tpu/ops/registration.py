@@ -40,6 +40,17 @@ class RegistrationParams(NamedTuple):
     plane_tol: float = 0.2  # plane validity: all fit pts within (m)
     huber_delta: float = 0.5  # robust loss scale (m)
     degen_thresh: float = 100.0  # eigenvalue floor of JᵀJ (ref: 100)
+    # match-count-normalized degeneracy floor: when > 0 the eigenvalue floor
+    # becomes ``degen_rel · n_matches`` instead of the absolute
+    # ``degen_thresh``. The reference's 100 is calibrated to its raw dense
+    # scans (tens of thousands of residuals); eigenvalues of JᵀJ scale
+    # linearly with match count (a well-constrained direction contributes
+    # ~0.3 per match), so at down-selected feature density an absolute
+    # floor misreads marginal-but-real constraints as degenerate (measured:
+    # loop verification at sim density reports 4-5/6 constrained under
+    # floor 100 with ~900 matches — eigenvalues ~100-300 — where 0.01/match
+    # → floor 9 correctly reports 6/6).
+    degen_rel: float = 0.0
     damping: float = 1e-4  # LM-style diagonal damping
     trans_converged: float = 5e-4  # m   (ref: 0.05 cm)
     rot_converged: float = 1e-3  # rad (ref: 0.05°)
@@ -167,16 +178,22 @@ def _solve_degenerate(H, g, params):
     return x, jnp.sum(ok)
 
 
-def _degeneracy_projector(H, params):
+def _degeneracy_projector(H, params, nmatch=None):
     """Eigen-analysis of JᵀJ → (projector onto well-constrained directions,
     count of constrained directions). Computed ONCE at the first iteration
     and frozen — matching LOAM/the reference's degeneracy handling, which
     eigendecomposes only on iterCount==0 (`mapOptmization_node.cpp:1433+`;
     `edgeSurfFeatureRegistration.hpp:280-308`). Later iterations solve the
     damped normal equations by a fused 6×6 Cholesky with a large penalty on
-    the degenerate subspace, avoiding the ~0.6 ms per-iteration XLA eigh."""
+    the degenerate subspace, avoiding the ~0.6 ms per-iteration XLA eigh.
+
+    Floor: ``degen_rel·nmatch`` when configured (density-independent),
+    else the absolute ``degen_thresh``."""
     eigval, eigvec = jnp.linalg.eigh(H + params.damping * jnp.eye(6))
-    ok = eigval > params.degen_thresh
+    thresh = jnp.float32(params.degen_thresh)
+    if params.degen_rel > 0.0 and nmatch is not None:
+        thresh = params.degen_rel * nmatch.astype(jnp.float32)
+    ok = eigval > thresh
     P = (eigvec * ok[None, :].astype(eigvec.dtype)) @ eigvec.T
     return P, jnp.sum(ok).astype(jnp.int32)
 
@@ -229,9 +246,10 @@ def register_edge_surf(
         # H's structure changes with the correspondences, not the inner GN
         # steps (LOAM freezes it at iter 0; with sparse feature clouds the
         # iter-0 H underestimates constraint, so refresh per association)
+        nmatch = jnp.sum(ve) + jnp.sum(vs)
         P, n_con = jax.lax.cond(
             do_assoc,
-            lambda _: _degeneracy_projector(H, params),
+            lambda _: _degeneracy_projector(H, params, nmatch),
             lambda _: (P, n_con),
             None,
         )
@@ -247,7 +265,6 @@ def register_edge_surf(
             jnp.linalg.norm(xi[3:]) < params.trans_converged
         )
         pose = jnp.where(done, pose, new_pose)
-        nmatch = jnp.sum(ve) + jnp.sum(vs)
         cost = (jnp.sum(we * re * re) + jnp.sum(ws * rs * rs)) / jnp.maximum(nmatch, 1)
         iters = iters + jnp.where(done, 0, 1)
         return (pose, done | small, iters, n_con, P, corr), (nmatch, cost)
@@ -443,15 +460,18 @@ def evaluate_alignment(
     p_w = se3.pose_apply(pose, src.xyz)
     d, idx = neighbors.knn(p_w, src.mask, map_pb.xyz, map_pb.mask, k=5)
     d1 = d[:, 0]  # squared 1-NN point distance
-    nvalid = d < neighbors.INF
+    # plane support is bounded to the correspondence radius: a neighbor
+    # farther than inlier_dist must not lend its plane to the query (a point
+    # on the EXTENSION of a distant planar patch would otherwise score ~0);
+    # with <3 in-radius neighbors the score falls back to the point distance
+    nvalid = d < inlier_dist * inlier_dist
     nbr = map_pb.xyz[idx]
     w = nvalid.astype(jnp.float32)
     wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
     centroid = jnp.sum(nbr * w[..., None], axis=1) / wsum
     diff = (nbr - centroid[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", diff, diff) / wsum[..., None]
-    eigval, eigvec = mat3.sym_eigh3(cov)
-    n = eigvec[..., 0]  # smallest-eigenvalue direction = plane normal
+    n = mat3.sym_eigh3(cov)[1][..., 0]  # smallest-eigval dir = plane normal
     # planar neighborhood: enough support and thin out-of-plane extent
     pd = jnp.abs(jnp.sum(nbr * n[:, None, :], axis=-1)
                  - jnp.sum(n * centroid, axis=-1)[:, None])

@@ -43,8 +43,9 @@ from ..common import se3
 from ..backend.pose_graph import (
     PoseGraphParams,
     PoseGraphStats,
+    _clamp_step,
     _edge_res_jac,
-    _robust_weight,
+    _edge_weights,
     edge_residual,
 )
 
@@ -292,14 +293,16 @@ def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
     def allreduce(x):
         return jax.lax.psum(x, axis) if axis is not None else x
 
-    def step(poses, e_idx, e_mask, cls, loc, l2g, l2g_mask, int_ids, int_mask,
-             u_idx, u_mask, u_cls, u_loc, u_gsep,
-             edges_ij, edges_z, edges_sqrtw, u_vid, u_z, u_sw, u_typ):
+    def step(poses, t, e_idx, e_mask, cls, loc, l2g, l2g_mask, int_ids,
+             int_mask, u_idx, u_mask, u_cls, u_loc, u_gsep,
+             edges_ij, edges_z, edges_sqrtw, edges_robust,
+             u_vid, u_z, u_sw, u_typ):
         S_l = e_idx.shape[0]
         # gather this shard's edges: (S_l, Emax, ...)
         eij = edges_ij[e_idx]
         z = edges_z[e_idx]
         sqrtw = edges_sqrtw[e_idx] * e_mask[..., None]
+        erob = edges_robust[e_idx]
         pi = poses[eij[..., 0]]
         pj = poses[eij[..., 1]]
 
@@ -307,9 +310,16 @@ def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
         r = r * sqrtw
         Ji = Ji * sqrtw[..., None]
         Jj = Jj * sqrtw[..., None]
-        w = _robust_weight(
-            jnp.sum(r * r, -1), params.kernel, params.kernel_delta
-        ) * e_mask
+        # per-edge kernel policy + GNC schedule, identical to
+        # `optimize_pose_graph` (robust weight only on loop edges); the
+        # median floor of the truncation threshold is computed over this
+        # DEVICE's edges (each edge is owned by exactly one submap, so
+        # every edge is weighted once — the consensus estimate is local
+        # but consistent)
+        r2 = jnp.sum(r * r, -1)
+        w = _edge_weights(
+            r2.reshape(-1), erob.reshape(-1), e_mask.reshape(-1), params, t
+        ).reshape(r2.shape) * e_mask
 
         J = jnp.stack([Ji, Jj], axis=2)  # (S_l, E, 2, 6, 6)
         wr = r * w[..., None]
@@ -466,6 +476,7 @@ def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
             num_segments=V + 1,
         )[:V]
 
+        dxv = _clamp_step(dxv, params)
         new_poses = jax.vmap(se3.pose_retract)(poses, dxv)
         dxn = jnp.sqrt(jnp.sum(dxv * dxv) / V)
         return new_poses, dxn
@@ -533,6 +544,7 @@ def optimize_pose_graph_schur(
     n_submaps: int = 16,
     fixed=None,
     mesh: Mesh | None = None,
+    edges_robust=None,
     prior_xyz=None, prior_idx=None, prior_sqrtw=None, prior_mask=None,
     qprior_quat=None, qprior_idx=None, qprior_sqrtw=None, qprior_mask=None,
     plane_idx=None, plane_z=None, plane_sqrtw=None, plane_mask=None,
@@ -569,6 +581,11 @@ def optimize_pose_graph_schur(
     e_z = jnp.asarray(edges_z)
     e_ij = jnp.asarray(edges_ij)
     e_sw = jnp.asarray(edges_sqrtw) * jnp.asarray(emask)[:, None]
+    e_rob = (
+        jnp.ones(e_ij.shape[0], bool)
+        if edges_robust is None
+        else jnp.asarray(edges_robust, bool)
+    )
     u_vid_d = jnp.asarray(u_vid, jnp.int32)
     u_z_d = jnp.asarray(u_z)
     u_sw_d = jnp.asarray(u_sw)
@@ -591,15 +608,17 @@ def optimize_pose_graph_schur(
         jnp.asarray(part.u_cls), jnp.asarray(part.u_loc),
         jnp.asarray(part.u_gsep),
     )
-    repl = (e_ij, e_z, e_sw, u_vid_d, u_z_d, u_sw_d, u_typ_d)
+    repl = (e_ij, e_z, e_sw, e_rob, u_vid_d, u_z_d, u_sw_d, u_typ_d)
 
-    def run(p0, e_ij, e_z, e_sw, u_vid, u_z, u_sw, u_typ, *consts_dev):
+    def run(p0, e_ij, e_z, e_sw, e_rob, u_vid, u_z, u_sw, u_typ, *consts_dev):
         def body(carry, _):
             p, done, iters = carry
             new_p, dxn = step(
-                p, *consts_dev, e_ij, e_z, e_sw, u_vid, u_z, u_sw, u_typ
+                p, iters, *consts_dev, e_ij, e_z, e_sw, e_rob,
+                u_vid, u_z, u_sw, u_typ,
             )
-            small = dxn < params.converged_dx
+            # no convergence mid-GNC-anneal (surrogate still changing)
+            small = (dxn < params.converged_dx) & (iters >= params.gnc_iters)
             p = jnp.where(done, p, new_p)
             return (p, done | small, iters + jnp.where(done, 0, 1)), None
 

@@ -80,6 +80,11 @@ def _strict_mapping(loader, node, deep=False):
     seen = set()
     for key_node, _ in node.value:
         key = loader.construct_object(key_node, deep=deep)
+        if key == "<<":
+            # YAML merge keys are flattened by construct_mapping below;
+            # multiple '<<' entries and explicit-key-overrides-merge are
+            # legitimate, so the duplicate check covers explicit keys only
+            continue
         if key in seen:
             raise KeyError(
                 f"duplicate config key {key!r} (line {key_node.start_mark.line + 1})"

@@ -114,6 +114,10 @@ class SystemConfig(NamedTuple):
     use_imu: bool = False
     # tracker (capacities derived from ``feature``)
     tracker_window: int = 20
+    # IMU-free constant-velocity sweep deskew in the tracker (consumes the
+    # per-point rel-time attr when present — e.g. KITTI azimuth times); the
+    # IMU-propagated deskew in LioTracker takes precedence under use_imu
+    deskew: bool = False
     registration: RegistrationParams = RegistrationParams()
     map_update_trans: float = 0.3  # local-map insertion gate (ref :239-262)
     map_update_rot: float = 0.1
@@ -211,6 +215,9 @@ class MultiLidarSystem:
             map_update_rot=config.map_update_rot,
             map_update_dt=config.map_update_dt,
             registration=config.registration,
+            # under use_imu the LIO layer deskews with the IMU-propagated
+            # motion BEFORE tracker_step — don't deskew twice
+            deskew=config.deskew and not config.use_imu,
         )
         self.tracker_state = tracker_init(self.tracker_config)
         if backend is not None:

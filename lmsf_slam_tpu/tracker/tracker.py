@@ -51,6 +51,22 @@ class TrackerConfig(NamedTuple):
     # dead-reckoning to infinity.
     max_motion_trans: float = 10.0  # m/frame (100 m/s at 10 Hz — insanity floor)
     max_motion_rot: float = 1.5  # rad/frame
+    # IMU-free constant-velocity sweep deskew (reference intent:
+    # `processing/deskew/deskew_base.hpp` + the rotary preprocessor's
+    # per-point rel-time, `RotaryLidar_preprocessing.hpp:77-91`): when the
+    # feature clouds carry a rel-time attribute (slot ATTR_TIME — e.g. the
+    # KITTI azimuth-derived sweep times), each point is warped into the
+    # end-of-scan frame using the tracker's own constant-velocity motion
+    # before registration. No-op when the attr column is absent.
+    deskew: bool = False
+    # iterative re-deskew: registrations per frame (1 = deskew once with
+    # the constant-velocity prior — the best measured default: sustained
+    # distortion (corners) is where deskew pays, and there the lagged prior
+    # is accurate; extra fixed-point passes help only when the prior is far
+    # off, at a full registration each) and the damping of the sweep-motion
+    # update between passes
+    deskew_passes: int = 1
+    deskew_gain: float = 1.0
 
 
 class TrackerState(NamedTuple):
@@ -105,13 +121,6 @@ def tracker_step(
     if prediction is None:
         prediction = se3.pose_compose(state.pose, state.motion)
 
-    reg = register_edge_surf(
-        edge, surf, state.edge_flat, state.surf_flat, prediction,
-        config.registration,
-    )
-    # first frame: no map yet — stay at identity
-    new_pose = jnp.where(first, se3.pose_identity(), reg.pose)
-
     def _sane(p):
         d = se3.pose_between(state.pose, p)
         return (
@@ -120,6 +129,48 @@ def tracker_step(
                <= config.max_motion_rot)
             & jnp.all(jnp.isfinite(p))
         )
+
+    if config.deskew and edge.attr.shape[-1] > 0:
+        from ..common.pointcloud import ATTR_TIME
+        from ..ops.preprocess import deskew as _deskew
+
+        # ITERATIVE re-deskew (the LOAM reprojection scheme): the sweep
+        # motion is re-estimated from the registration itself — deskew with
+        # the current sweep iterate, register, measure the solved motion,
+        # repeat. A single pass with the lagged constant-velocity prior is
+        # measurably WORSE than no deskew (its motion error feeds the
+        # registration, whose error feeds the next frame's deskew); the
+        # fixed-point iteration converges on the frame's own motion. See
+        # tests/test_deskew.py for the system-level A/B.
+        raw_edge, raw_surf = edge, surf
+        sweep = jnp.where(first, se3.pose_identity(), state.motion)
+        pred_i = prediction
+        for _ in range(config.deskew_passes):
+            edge = _deskew(raw_edge, raw_edge.attr[:, ATTR_TIME], sweep)
+            surf = _deskew(raw_surf, raw_surf.attr[:, ATTR_TIME], sweep)
+            reg_i = register_edge_surf(
+                edge, surf, state.edge_flat, state.surf_flat, pred_i,
+                config.registration,
+            )
+            ok_i = _sane(reg_i.pose) & reg_i.converged & ~first
+            measured = se3.pose_between(state.pose, reg_i.pose)
+            # damped update of the sweep iterate (geodesic interpolation):
+            # full trust in the measurement overshoots at motion changes
+            a = jnp.where(ok_i, jnp.float32(config.deskew_gain), 0.0)
+            sweep = se3.pose_retract(
+                sweep, a * se3.pose_log(se3.pose_between(sweep, measured))
+            )
+            pred_i = jnp.where(ok_i, reg_i.pose, pred_i)
+        edge = _deskew(raw_edge, raw_edge.attr[:, ATTR_TIME], sweep)
+        surf = _deskew(raw_surf, raw_surf.attr[:, ATTR_TIME], sweep)
+        prediction = pred_i
+
+    reg = register_edge_surf(
+        edge, surf, state.edge_flat, state.surf_flat, prediction,
+        config.registration,
+    )
+    # first frame: no map yet — stay at identity
+    new_pose = jnp.where(first, se3.pose_identity(), reg.pose)
 
     # odometry failure gate: reject an implausible solve (fall back to the
     # prediction), and if even the prediction is implausible zero the

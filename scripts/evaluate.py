@@ -93,37 +93,30 @@ def run_city(args):
             range_noise=0.01, exclude_ground_edges=True,
             one_sided_occlusion=True,
         ),
-        # degen floor 10, not the reference's 100: the floor is an absolute
-        # eigenvalue of JᵀJ and thus calibrated to the reference's raw
-        # per-scan point counts; at our down-selected feature counts
-        # (hundreds of edges) x/y eigenvalues sit near 100 and the projector
-        # would freeze translation during bootstrap
+        # match-count-normalized degeneracy floor (degen_rel): density-
+        # independent — replaces the round-3 per-config magic 10 with the
+        # same 0.01·n_matches rule everywhere the solver runs on
+        # down-selected feature clouds
         registration=RegistrationParams(
-            max_iters=8, max_corr_dist=2.0, degen_thresh=10.0
+            max_iters=8, max_corr_dist=2.0, degen_rel=0.01
         ),
         map_update_trans=0.5,
         keyframe_trans=2.0,
         async_backend=not args.sync,
-        # the degeneracy floor is an absolute eigenvalue of JᵀJ and scales
-        # with point count — 10 (not the reference's 100) everywhere the
-        # solver runs at our down-selected feature density, including the
-        # loop verifier whose 6/6-constraint accept gate reads it
         lifelong=LifelongConfig(
             optimize_window=100,
+            # loop-closure (full) solves use the submap Schur elimination
+            # once the graph passes 512 vertices — the production scale-out
+            # path exercised at the scale it is built for
+            schur_submaps=16,
+            schur_min_vertices=512,
             localization_params=RegistrationParams(
-                max_iters=8, max_corr_dist=2.0, degen_thresh=10.0
+                max_iters=8, max_corr_dist=2.0, degen_rel=0.01
             ),
         ),
         loop=LoopConfig(  # reference score gates, unrelaxed
             min_frame_interval=30, exclude_recent=15, detect_spacing=2,
             search_radius=8.0, adjacent_window=4,
-            rough_params=RegistrationParams(
-                max_iters=8, max_corr_dist=4.0, huber_delta=2.0,
-                degen_thresh=10.0,
-            ),
-            refine_params=RegistrationParams(
-                max_iters=10, max_corr_dist=1.0, degen_thresh=10.0
-            ),
         ),
     )
     system = MultiLidarSystem(config)
@@ -163,7 +156,7 @@ def run_city_lifelong(args):
     key = jax.random.PRNGKey(args.seed)
     world = make_city_world(key)
     traj = jnp.asarray(make_city_course())
-    start = args.start if args.start else traj.shape[0] // 2
+    start = args.start if args.start is not None else traj.shape[0] // 2
     n = args.frames or 150
     seg = traj[start:start + n]
 
@@ -175,7 +168,7 @@ def run_city_lifelong(args):
             one_sided_occlusion=True,
         ),
         registration=RegistrationParams(
-            max_iters=8, max_corr_dist=2.0, degen_thresh=10.0
+            max_iters=8, max_corr_dist=2.0, degen_rel=0.01
         ),
         map_update_trans=0.5,
         keyframe_trans=2.0,
@@ -183,19 +176,12 @@ def run_city_lifelong(args):
         lifelong=LifelongConfig(
             optimize_window=100,
             localization_params=RegistrationParams(
-                max_iters=8, max_corr_dist=2.0, degen_thresh=10.0
+                max_iters=8, max_corr_dist=2.0, degen_rel=0.01
             ),
         ),
         loop=LoopConfig(
             min_frame_interval=30, exclude_recent=15, detect_spacing=2,
             search_radius=8.0, adjacent_window=4,
-            rough_params=RegistrationParams(
-                max_iters=8, max_corr_dist=4.0, huber_delta=2.0,
-                degen_thresh=10.0,
-            ),
-            refine_params=RegistrationParams(
-                max_iters=10, max_corr_dist=1.0, degen_thresh=10.0
-            ),
         ),
     )
     system = MultiLidarSystem.load(args.boot_from, config=config)
@@ -241,6 +227,9 @@ def run_kitti(args):
         registration=RegistrationParams(max_iters=8, max_corr_dist=2.0),
         keyframe_trans=1.0,
         async_backend=not args.sync,
+        # consume the azimuth-derived sweep times (datasets/kitti.py) with
+        # the tracker's constant-velocity deskew — no IMU needed
+        deskew=True,
         lifelong=LifelongConfig(optimize_window=50),
     )
     system = MultiLidarSystem(config)
@@ -280,8 +269,9 @@ def main():
                     help="save the lifelong database here after the run")
     ap.add_argument("--boot-from", default="",
                     help="city: boot from a saved database and relocalize")
-    ap.add_argument("--start", type=int, default=0,
-                    help="city lifelong: course frame to start the reboot at")
+    ap.add_argument("--start", type=int, default=None,
+                    help="city lifelong: course frame to start the reboot at"
+                    " (default: course midpoint)")
     args = ap.parse_args()
 
     if args.dataset == "sim":
@@ -314,6 +304,11 @@ def main():
     g = system.backend.db.graph_arrays()
     ij = np.asarray(g.edges_ij)[np.asarray(g.emask)]
     result["loop_edges"] = int(np.sum(np.abs(ij[:, 0] - ij[:, 1]) > 1))
+    # backend stage profile (the reference's TicToc CSV statistics)
+    result["backend_stage_ms"] = {
+        k: {"n": v["n"], "mean": round(v["mean_ms"], 1)}
+        for k, v in sorted(system.backend.timer.stats().items())
+    }
     modes = getattr(system, "_lifelong_modes", None)
     if modes is not None:
         result["reloc_frames"] = sum(m == "RELOCALIZATION" for m in modes)

@@ -84,6 +84,10 @@ def test_pose_graph_noop_on_consistent_graph():
 
 
 def test_pose_graph_robust_to_outlier_edge():
+    """A gross (40 m) outlier loop edge is fully rejected by the annealed-TLS
+    policy: the per-edge robust mask marks only the two loop edges, and the
+    truncation threshold (GNC anneal + 3×median-of-robust-peers floor) cuts
+    the edge that stays inconsistent with the consensus."""
     poses, vmask, ij, z, sw, emask, gt, n = _ring_graph()
     # add a wildly wrong extra edge between nodes 3 and 15
     ij = ij.at[30].set(jnp.array([3, 15]))
@@ -91,9 +95,27 @@ def test_pose_graph_robust_to_outlier_edge():
     z = z.at[30].set(bad)
     sw = sw.at[30].set(20.0)
     emask = emask.at[30].set(True)
-    opt, _ = optimize_pose_graph(poses, vmask, ij, z, sw, emask)
-    # Huber keeps the outlier from destroying the solution
+    erobust = jnp.zeros(64, bool).at[23].set(True).at[30].set(True)
+    opt, _ = optimize_pose_graph(
+        poses, vmask, ij, z, sw, emask, edges_robust=erobust,
+        params=PoseGraphParams(kernel="tls", gnc_iters=6),
+    )
     assert _ate(opt, gt, n) < 0.6
+
+
+def test_default_kernel_does_not_veto_loop_corrections():
+    """Regression for the round-3 global-DCS veto: at realistic accumulated
+    drift the default policy must let the loop closure bend the graph —
+    chi2 collapses by orders of magnitude instead of the −13% the
+    redescending global kernel produced."""
+    poses, vmask, ij, z, sw, emask, gt, n = _ring_graph(drift=0.12)
+    erobust = jnp.zeros(64, bool).at[23].set(True)  # loop edge only
+    ate_before = _ate(poses, gt, n)
+    opt, stats = optimize_pose_graph(
+        poses, vmask, ij, z, sw, emask, edges_robust=erobust
+    )
+    assert float(stats.chi2_final) < 0.01 * float(stats.chi2_initial)
+    assert _ate(opt, gt, n) < 0.5 * ate_before
 
 
 def test_gnss_position_priors_anchor_graph():
@@ -241,3 +263,41 @@ def test_lifelong_plane_cadence():
     assert backend.db.map_poses[:12, 6].max() > 0.4  # drifted before solve
     backend.force_global_optimize()
     assert np.abs(backend.db.map_poses[:12, 6]).max() < 0.05
+
+
+def test_score_scaled_loop_information():
+    """Fitness-score → information scaling (reference
+    `information_matrix_calculator.hpp:43-52`): a tightly-verified
+    (0.003-score) loop carries a stiffer edge than a barely-passing
+    (0.04-score) one, and out-pulls it in a conflicting-measurement solve."""
+    from lmsf_slam_tpu.backend.loop_closure import LoopDetector
+
+    det = LoopDetector()
+    tight = det.edge_noise(0.003)
+    loose = det.edge_noise(0.04)
+    assert np.all(tight < loose)
+
+    # two fixed anchors at x=0 and x=10 each claim the free middle vertex via
+    # a between edge: anchor A (tight loop) says x=4, anchor B (loose loop)
+    # says x=6 — the solution must land closer to the tight claim
+    poses = jnp.asarray(np.array([
+        [1, 0, 0, 0, 0, 0, 0],
+        [1, 0, 0, 0, 5, 0, 0],
+        [1, 0, 0, 0, 10, 0, 0],
+    ], np.float32))
+    vmask = jnp.ones(3, bool)
+    fixed = jnp.asarray([True, False, True])
+    ij = jnp.asarray([[0, 1], [2, 1]], jnp.int32)
+    z = jnp.asarray(np.array([
+        [1, 0, 0, 0, 4, 0, 0],    # tight: vertex 1 at x=4
+        [1, 0, 0, 0, -4, 0, 0],   # loose: vertex 1 at x=6
+    ], np.float32))
+    sw = jnp.asarray(np.stack([1.0 / np.sqrt(tight), 1.0 / np.sqrt(loose)]),
+                     jnp.float32)
+    emask = jnp.ones(2, bool)
+    opt, _ = optimize_pose_graph(
+        poses, vmask, ij, z, sw, emask, fixed=fixed,
+        params=PoseGraphParams(kernel="none"),
+    )
+    x = float(opt[1, 4])
+    assert abs(x - 4.0) < abs(x - 6.0), x
