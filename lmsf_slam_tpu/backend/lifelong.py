@@ -160,6 +160,10 @@ class LifelongBackend:
         # detector, read via ``timer.stats()`` — evaluate.py exports it
         self.timer = StageTimer()
         self.loop_detector = LoopDetector(loop_config, timer=self.timer)
+        # per-keyframe decision log (mode, kf_id, score, overlap, loop) —
+        # the observability artifact evaluate.py exports so gate behavior
+        # at scale is diagnosable from a finished run
+        self.history: list[BackendOutput] = []
         # boot semantics: empty DB → MAPPING; loaded DB → RELOCALIZATION
         # (reference Load() backend_lifelong.hpp:97-118)
         if mode is None:
@@ -432,15 +436,18 @@ class LifelongBackend:
         self.last_stamp = stamp
         odom_pose = np.asarray(odom_pose, np.float32)
         if self.mode is WorkMode.RELOCALIZATION:
-            return self._do_relocalization(stamp, edge, surf, odom_pose)
-        if self.mode is WorkMode.LOCALIZATION:
-            return self._do_localization(
+            out = self._do_relocalization(stamp, edge, surf, odom_pose)
+        elif self.mode is WorkMode.LOCALIZATION:
+            out = self._do_localization(
                 stamp, edge, surf, odom_pose, scan_grid=scan_grid
             )
-        return self._do_mapping(
-            stamp, edge, surf, odom_pose, gnss_pos=gnss_pos,
-            scan_grid=scan_grid,
-        )
+        else:
+            out = self._do_mapping(
+                stamp, edge, surf, odom_pose, gnss_pos=gnss_pos,
+                scan_grid=scan_grid,
+            )
+        self.history.append(out)
+        return out
 
     def optimize(self, full: bool = True):
         """Batch GN; write poses back (`mapping()`/`optimize()`

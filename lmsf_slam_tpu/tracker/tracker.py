@@ -49,8 +49,29 @@ class TrackerConfig(NamedTuple):
     # prediction) and, if the prediction itself is implausible, the velocity
     # resets to zero so the tracker re-anchors on its local map instead of
     # dead-reckoning to infinity.
-    max_motion_trans: float = 10.0  # m/frame (100 m/s at 10 Hz — insanity floor)
+    max_motion_trans: float = 10.0  # m/frame (100 m/s at 10 Hz — insanity ceiling)
     max_motion_rot: float = 1.5  # rad/frame
+    # dynamic motion gate: the per-frame translation bound is
+    # min(max_motion_trans, max(motion_floor, motion_gate_k · EMA speed)) —
+    # a static 10 m ceiling lets one bad-but-"sane" solve poison the
+    # constant-velocity state, after which dead-reckoning at up to
+    # 10 m/frame passes the gate forever (observed: an HDL-64 city run
+    # walking off at 6-8 m/frame from frame 323 on). Speed-relative
+    # gating rejects such a solve AND the poisoned prediction, forcing the
+    # velocity reset that re-anchors the tracker.
+    motion_floor: float = 2.0  # m/frame always allowed (startup/acceleration)
+    motion_gate_k: float = 3.0  # multiple of the smoothed speed allowed
+    speed_ema_alpha: float = 0.3  # EMA update weight of the accepted speed
+    # map-insertion health gate: a frame is inserted when its solve used at
+    # least this many correspondences AND passed the motion gate. The
+    # convergence flag is the WRONG gate here: at realistic noise the GN
+    # loop frequently exhausts max_iters healthily (flag False), while a
+    # scan that fell off the map entirely "converges" trivially with zero
+    # matches (xi = 0) — gating on the flag starves the sliding window in
+    # exactly the situations that need fresh scans, then inserts the
+    # garbage (observed: city-run local map decayed 2395 → 0 matches over
+    # 90 frames, after which the tracker dead-reckoned off the map).
+    map_insert_min_matches: int = 32
     # IMU-free constant-velocity sweep deskew (reference intent:
     # `processing/deskew/deskew_base.hpp` + the rotary preprocessor's
     # per-point rel-time, `RotaryLidar_preprocessing.hpp:77-91`): when the
@@ -72,6 +93,7 @@ class TrackerConfig(NamedTuple):
 class TrackerState(NamedTuple):
     pose: jax.Array  # (7,) current pose in odom frame
     motion: jax.Array  # (7,) last inter-frame increment (const-velocity)
+    speed_ema: jax.Array  # f32 — smoothed accepted per-frame speed (m)
     edge_map: LocalMapState
     surf_map: LocalMapState
     edge_flat: PointBatch  # cached voxel-downsampled union map (odom frame)
@@ -92,6 +114,7 @@ def tracker_init(config: TrackerConfig) -> TrackerState:
     return TrackerState(
         pose=se3.pose_identity(),
         motion=se3.pose_identity(),
+        speed_ema=jnp.float32(0.0),
         edge_map=localmap_empty(config.window, config.edge_capacity),
         surf_map=localmap_empty(config.window, config.surf_capacity),
         edge_flat=PointBatch.empty(config.edge_map_capacity),
@@ -121,10 +144,19 @@ def tracker_step(
     if prediction is None:
         prediction = se3.pose_compose(state.pose, state.motion)
 
+    # speed-relative translation bound (see motion_floor/motion_gate_k)
+    trans_bound = jnp.minimum(
+        jnp.float32(config.max_motion_trans),
+        jnp.maximum(
+            jnp.float32(config.motion_floor),
+            config.motion_gate_k * state.speed_ema,
+        ),
+    )
+
     def _sane(p):
         d = se3.pose_between(state.pose, p)
         return (
-            (jnp.linalg.norm(se3.pose_trans(d)) <= config.max_motion_trans)
+            (jnp.linalg.norm(se3.pose_trans(d)) <= trans_bound)
             & (jnp.linalg.norm(se3.so3_log(se3.pose_quat(d)))
                <= config.max_motion_rot)
             & jnp.all(jnp.isfinite(p))
@@ -152,7 +184,11 @@ def tracker_step(
                 edge, surf, state.edge_flat, state.surf_flat, pred_i,
                 config.registration,
             )
-            ok_i = _sane(reg_i.pose) & reg_i.converged & ~first
+            ok_i = (
+                _sane(reg_i.pose)
+                & (reg_i.num_matches >= config.map_insert_min_matches)
+                & ~first
+            )
             measured = se3.pose_between(state.pose, reg_i.pose)
             # damped update of the sweep iterate (geodesic interpolation):
             # full trust in the measurement overshoots at motion changes
@@ -193,9 +229,13 @@ def tracker_step(
     )
     # registration health gate: a diverged solve must not pollute the local
     # map (the reference falls back on non-convergence at the backend,
-    # `backend_lifelong.hpp:284-289`; here the map simply skips the frame —
-    # a later converged frame at the same place inserts instead)
-    need = need & (first | (reg.converged & solve_ok))
+    # `backend_lifelong.hpp:284-289`). Health = enough correspondences +
+    # a speed-plausible increment — NOT the convergence flag (see
+    # map_insert_min_matches above).
+    healthy = solve_ok & (
+        reg.num_matches >= config.map_insert_min_matches
+    )
+    need = need & (first | healthy)
 
     edge_w = edge.transform(new_pose)
     surf_w = surf.transform(new_pose)
@@ -219,9 +259,15 @@ def tracker_step(
         lambda: (state.edge_flat, state.surf_flat),
     )
 
+    speed = jnp.linalg.norm(se3.pose_trans(motion))
+    a = jnp.float32(config.speed_ema_alpha)
     new_state = TrackerState(
         pose=new_pose,
         motion=jnp.where(first, se3.pose_identity(), motion),
+        speed_ema=jnp.where(
+            first, state.speed_ema,
+            (1.0 - a) * state.speed_ema + a * speed,
+        ),
         edge_map=new_edge_map,
         surf_map=new_surf_map,
         edge_flat=edge_flat,

@@ -309,6 +309,19 @@ def main():
         k: {"n": v["n"], "mean": round(v["mean_ms"], 1)}
         for k, v in sorted(system.backend.timer.stats().items())
     }
+    # per-keyframe decision log: gate behavior at scale, diagnosable
+    # post-hoc (mode FSM, localization scores/overlaps, loop events)
+    with open(os.path.join(args.out, "backend_history.csv"), "w") as f:
+        f.write("mode,keyframe_id,score,overlap,loop_closed\n")
+        for h in system.backend.history:
+            f.write(
+                f"{h.mode.name},{h.keyframe_id},{h.score:.5f},"
+                f"{h.overlap:.4f},{int(h.loop_closed)}\n"
+            )
+    hist_modes = [h.mode.name for h in system.backend.history]
+    result["mode_counts"] = {
+        m: hist_modes.count(m) for m in sorted(set(hist_modes))
+    }
     modes = getattr(system, "_lifelong_modes", None)
     if modes is not None:
         result["reloc_frames"] = sum(m == "RELOCALIZATION" for m in modes)
