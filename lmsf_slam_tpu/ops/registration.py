@@ -439,9 +439,23 @@ def evaluate_alignment(
     pose: jax.Array,
     inlier_dist: float = 1.0,
     min_overlap: float = 0.2,
+    score_dist: float = 0.5,
 ):
     """Score = mean squared surface distance over inliers; overlap = 1-NN
     inlier ratio.
+
+    Score and overlap answer different questions and use different radii:
+    ``overlap`` measures COVERAGE (fraction of the scan within
+    ``inlier_dist`` of the map — the reference's 1 m), while ``score``
+    measures ALIGNMENT of the covered region, over the tighter
+    ``score_dist`` ring. At a map BOUNDARY a well-aligned scan contains
+    frontier points 0.5–1 m from the last mapped features; under a single
+    radius those inflate the score past the map-update gate (0.04) exactly
+    while overlap passes through its window — the lifelong map-extension
+    gate then never fires (observed at city scale: score 0.06→0.13 as
+    overlap fell 0.93→0.49). Genuinely misaligned scans still score high:
+    beyond ~``score_dist`` misalignment the scored set empties and the
+    score falls back to the full coverage ring.
 
     The reference scores mean squared 1-NN POINT distance against its dense
     per-keyframe clouds (`alignEvaluate.hpp:55-87`), where the sampling floor
@@ -486,6 +500,12 @@ def evaluate_alignment(
     n_src = jnp.maximum(jnp.sum(src.mask), 1)
     n_in = jnp.sum(inlier)
     overlap = n_in / n_src
-    score = jnp.sum(jnp.where(inlier, d_surf, 0.0)) / jnp.maximum(n_in, 1)
+    # alignment score over the tight ring; coverage-ring fallback when the
+    # tight ring is (nearly) empty — i.e. gross misalignment
+    s_in = src.mask & (d1 < score_dist * score_dist)
+    n_s = jnp.sum(s_in)
+    score_tight = jnp.sum(jnp.where(s_in, d_surf, 0.0)) / jnp.maximum(n_s, 1)
+    score_cover = jnp.sum(jnp.where(inlier, d_surf, 0.0)) / jnp.maximum(n_in, 1)
+    score = jnp.where(n_s > 0.05 * n_in, score_tight, score_cover)
     score = jnp.where(overlap < min_overlap, jnp.float32(1e9), score)
     return score, overlap
