@@ -54,6 +54,18 @@ def _grow(arr: np.ndarray, new_cap: int) -> np.ndarray:
 from functools import partial  # noqa: E402
 
 
+@partial(jax.jit, static_argnames=("rings", "sectors"))
+def _sc_ringkey(exyz, emask, sxyz, smask, rings: int, sectors: int):
+    """Scan-context + ring key of a keyframe's feature clouds in ONE fused
+    device program (the split path costs two dispatches + two transfers per
+    insert — RPC-bound on remote TPUs)."""
+    both = PointBatch(
+        jnp.concatenate([exyz, sxyz]), jnp.concatenate([emask, smask])
+    )
+    sc = scancontext.make_scan_context(both, rings=rings, sectors=sectors)
+    return sc, scancontext.ring_key(sc)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _mirror_knn(pos, valid, query, max_id, k: int):
     """Masked k-NN over the device position mirror: one top-k, no kdtree."""
@@ -204,27 +216,32 @@ class KeyframeDatabase:
         self.odom_poses[i] = np.asarray(odom_pose, np.float32)
         self.map_poses[i] = np.asarray(map_pose, np.float32)
 
-        exyz = np.asarray(edge_pb.xyz, np.float32)
-        emask = np.asarray(edge_pb.mask)
-        ne = min(exyz.shape[0], self.edge_capacity)
-        self.edge_xyz[i, :ne] = exyz[:ne]
-        self.edge_mask[i, :ne] = emask[:ne]
-        sxyz = np.asarray(surf_pb.xyz, np.float32)
-        smask = np.asarray(surf_pb.mask)
-        ns = min(sxyz.shape[0], self.surf_capacity)
-        self.surf_xyz[i, :ns] = sxyz[:ns]
-        self.surf_mask[i, :ns] = smask[:ns]
-
         if sc is None:
-            both = PointBatch(
-                jnp.concatenate([jnp.asarray(exyz[:ne]), jnp.asarray(sxyz[:ns])]),
-                jnp.concatenate([jnp.asarray(emask[:ne]), jnp.asarray(smask[:ns])]),
+            # one fused device program + ONE batched transfer for clouds,
+            # descriptor, and ring key together
+            sc_d, rk_d = _sc_ringkey(
+                edge_pb.xyz, edge_pb.mask, surf_pb.xyz, surf_pb.mask,
+                self.sc_shape[0], self.sc_shape[1],
             )
-            sc = scancontext.make_scan_context(
-                both, rings=self.sc_shape[0], sectors=self.sc_shape[1]
+            exyz, emask, sxyz, smask, sc_np, rk = jax.device_get(
+                (edge_pb.xyz, edge_pb.mask, surf_pb.xyz, surf_pb.mask,
+                 sc_d, rk_d)
             )
-        self.sc[i] = np.asarray(sc, np.float32)
-        self.ring_keys[i] = np.asarray(scancontext.ring_key(jnp.asarray(sc)))
+        else:
+            exyz, emask, sxyz, smask = jax.device_get(
+                (edge_pb.xyz, edge_pb.mask, surf_pb.xyz, surf_pb.mask)
+            )
+            sc_np = np.asarray(sc, np.float32)
+            rk = np.asarray(scancontext.ring_key(jnp.asarray(sc_np)))
+
+        ne = min(exyz.shape[0], self.edge_capacity)
+        self.edge_xyz[i, :ne] = np.asarray(exyz, np.float32)[:ne]
+        self.edge_mask[i, :ne] = np.asarray(emask)[:ne]
+        ns = min(sxyz.shape[0], self.surf_capacity)
+        self.surf_xyz[i, :ns] = np.asarray(sxyz, np.float32)[:ns]
+        self.surf_mask[i, :ns] = np.asarray(smask)[:ns]
+        self.sc[i] = np.asarray(sc_np, np.float32)
+        self.ring_keys[i] = np.asarray(rk, np.float32)
         if gnss_pos is not None:
             self.gnss_pos[i] = np.asarray(gnss_pos, np.float32)
             self.gnss_valid[i] = True

@@ -32,7 +32,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import se3
+from ..common import se3, se3np
 from ..common.pointcloud import PointBatch
 from ..mapping.occupancy import (
     OccupancyConfig,
@@ -186,15 +186,16 @@ class LifelongBackend:
     # -- helpers --------------------------------------------------------------
 
     def _map_pose(self, odom_pose) -> np.ndarray:
+        # host pose math (se3np): single-pose bookkeeping must not cost a
+        # device dispatch per call (RPC-bound on remote TPUs)
         return np.asarray(
-            se3.pose_compose(jnp.asarray(self.odom2map), jnp.asarray(odom_pose))
+            se3np.pose_compose(self.odom2map, odom_pose), np.float32
         )
 
     def _set_odom2map(self, map_pose, odom_pose):
         self.odom2map = np.asarray(
-            se3.pose_compose(
-                jnp.asarray(map_pose), se3.pose_inverse(jnp.asarray(odom_pose))
-            )
+            se3np.pose_compose(map_pose, se3np.pose_inverse(odom_pose)),
+            np.float32,
         )
 
     def _knn_local_map(self, position: np.ndarray):
@@ -347,11 +348,9 @@ class LifelongBackend:
             kf_id = self.db.add_keyframe(stamp, odom_pose, map_pose, edge, surf)
             nn_ids, _ = self.db.nearest_ids(map_pose[4:], 1, max_id=kf_id)
             nearest = int(nn_ids[0])
-            z = se3.pose_between(
-                jnp.asarray(self.db.map_poses[nearest]), jnp.asarray(map_pose)
-            )
+            z = se3np.pose_between(self.db.map_poses[nearest], map_pose)
             self.db.add_edge(
-                nearest, kf_id, np.asarray(z),
+                nearest, kf_id, z,
                 np.array([cfg.odom_noise_rot] * 3 + [cfg.odom_noise_trans] * 3),
             )
             self._pending += 1
@@ -379,11 +378,9 @@ class LifelongBackend:
                 stamp, odom_pose, map_pose, edge, surf, gnss_pos=gnss_pos
             )
         if kf_id > 0:
-            z = se3.pose_between(
-                jnp.asarray(self.db.map_poses[kf_id - 1]), jnp.asarray(map_pose)
-            )
+            z = se3np.pose_between(self.db.map_poses[kf_id - 1], map_pose)
             self.db.add_edge(
-                kf_id - 1, kf_id, np.asarray(z),
+                kf_id - 1, kf_id, z,
                 np.array([cfg.odom_noise_rot] * 3 + [cfg.odom_noise_trans] * 3),
             )
         self._pending += 1

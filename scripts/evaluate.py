@@ -297,7 +297,7 @@ def main():
         "fps": round(est.shape[0] / wall, 2),
         "frame_ms_p50": round(float(np.percentile(steady, 50)) * 1e3, 2),
         "frame_ms_p99": round(float(np.percentile(steady, 99)) * 1e3, 2),
-        "backend": "sync" if args.sync else "async",
+        "backend": "async" if system._async is not None else "sync",
         "keyframes": int(system.backend.db.n_keyframes),
         "mode": system.backend.mode.name,
     }
