@@ -229,6 +229,9 @@ def bench_system(world, traj, key, pipelined: bool):
         ),
         registration=RegistrationParams(max_iters=10),
         async_backend=pipelined,
+        # lossless for the benchmark: the pipelined rate must mean "every
+        # keyframe fully processed", not "keyframes shed under load"
+        async_drop_when_full=False,
         lifelong=LifelongConfig(optimize_window=50) if pipelined
         else LifelongConfig(),
     )

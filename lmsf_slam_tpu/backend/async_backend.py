@@ -35,8 +35,22 @@ class AsyncBackend:
     deques in `data_manager.hpp`).
     """
 
-    def __init__(self, backend: LifelongBackend, max_queue: int = 8):
+    def __init__(
+        self,
+        backend: LifelongBackend,
+        max_queue: int = 8,
+        drop_when_full: bool = False,
+    ):
+        """``drop_when_full``: when the worker falls behind and the queue is
+        full, DROP the new keyframe instead of stalling the frontend — the
+        reference's capped data-manager deques (`data_manager.hpp`) shed
+        load exactly this way. Dropped keyframes are counted in
+        ``dropped``; the odometry chain stays consistent because between
+        edges link consecutive STORED keyframes. False restores blocking
+        (lossless, at the cost of frontend latency spikes)."""
         self.backend = backend
+        self.drop_when_full = drop_when_full
+        self.dropped = 0
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._outputs: list[BackendOutput] = []
         self._lock = threading.Lock()
@@ -93,16 +107,21 @@ class AsyncBackend:
         range image riding with the keyframe — same contract as
         ``LifelongBackend.add_keyframe``."""
         self._raise_pending()
-        self._q.put(
-            (
-                stamp,
-                edge,
-                surf,
-                np.asarray(odom_pose, np.float32),
-                None if gnss_pos is None else np.asarray(gnss_pos, np.float32),
-                scan_grid,
-            )
+        item = (
+            stamp,
+            edge,
+            surf,
+            np.asarray(odom_pose, np.float32),
+            None if gnss_pos is None else np.asarray(gnss_pos, np.float32),
+            scan_grid,
         )
+        if self.drop_when_full:
+            try:
+                self._q.put_nowait(item)
+            except queue.Full:
+                self.dropped += 1
+        else:
+            self._q.put(item)
         with self._lock:
             return self._odom2map.copy(), self._mode
 

@@ -106,8 +106,11 @@ class SystemConfig(NamedTuple):
     # calibration entirely; None → calibrate online
     extrinsics: Optional[tuple] = None
     # run the backend (loop detection + optimization) on a worker thread so
-    # the frontend never stalls (reference thread pipeline, §2.9)
+    # the frontend never stalls (reference thread pipeline, §2.9);
+    # drop_when_full sheds keyframes under backend overload instead of
+    # blocking the frontend (the reference's capped data-manager deques)
     async_backend: bool = False
+    async_drop_when_full: bool = True
     # IMU-aided mode (the LIG system the reference stubs,
     # `LIG_System.hpp:173-182`): ESKF-propagated prediction + sweep deskew;
     # ``process`` then accepts per-frame IMU windows, and GNSS fixes fuse
@@ -237,7 +240,9 @@ class MultiLidarSystem:
         if config.async_backend:
             from ..backend.async_backend import AsyncBackend
 
-            self._async = AsyncBackend(self.backend)
+            self._async = AsyncBackend(
+                self.backend, drop_when_full=config.async_drop_when_full
+            )
 
         # fused per-frame program for the common path (single lidar, no
         # IMU, feature_based): preprocess → organize → features → track in

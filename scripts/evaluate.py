@@ -27,7 +27,7 @@ import numpy as np
 from lmsf_slam_tpu.backend import LifelongConfig, LoopConfig
 from lmsf_slam_tpu.common import se3
 from lmsf_slam_tpu.datasets import make_sim_world, make_trajectory, simulate_scan
-from lmsf_slam_tpu.evaluation import ate_stats, save_kitti_trajectory
+from lmsf_slam_tpu.evaluation import ate_stats, rpe_stats, save_kitti_trajectory
 from lmsf_slam_tpu.ops.registration import RegistrationParams
 from lmsf_slam_tpu.system import FeatureParams, MultiLidarSystem, SystemConfig
 
@@ -301,6 +301,8 @@ def main():
         "keyframes": int(system.backend.db.n_keyframes),
         "mode": system.backend.mode.name,
     }
+    if system._async is not None:
+        result["dropped_keyframes"] = system._async.dropped
     g = system.backend.db.graph_arrays()
     ij = np.asarray(g.edges_ij)[np.asarray(g.emask)]
     result["loop_edges"] = int(np.sum(np.abs(ij[:, 0] - ij[:, 1]) > 1))
@@ -334,6 +336,12 @@ def main():
             "median": round(s.median, 4), "std": round(s.std, 4),
             "max": round(s.max, 4),
         }
+        if est.shape[0] > 12:
+            r = rpe_stats(est, gt, delta=10)
+            result["rpe_d10"] = {
+                "rmse": round(r.rmse, 4), "mean": round(r.mean, 4),
+                "max": round(r.max, 4),
+            }
     print(json.dumps(result))
 
 

@@ -101,3 +101,37 @@ def test_async_worker_error_surfaces_no_deadlock():
         backend.flush()
     # the queue drained; the facade stays usable for shutdown
     backend.close()
+
+
+def test_drop_when_full_sheds_instead_of_blocking():
+    """Production load-shedding (the reference's capped data-manager
+    deques): with drop_when_full the queue never blocks the frontend and
+    dropped keyframes are counted; the stored chain stays consistent."""
+    import threading
+
+    backend = AsyncBackend(
+        LifelongBackend(loop_config=_loop_cfg()), max_queue=2,
+        drop_when_full=True,
+    )
+    # stall the worker so the queue certainly fills
+    gate = threading.Event()
+    orig = backend.backend.add_keyframe
+
+    def slow_add(*a, **k):
+        gate.wait(timeout=5.0)
+        return orig(*a, **k)
+
+    backend.backend.add_keyframe = slow_add
+    world = make_world(KEY, extent=25.0, n_pillars=30, n_ground=3000,
+                       n_wall=1500)
+    traj = make_trajectory(8, radius=8.0, loop=False)
+    for i in range(8):
+        edge, surf = scan_at(world, traj[i], jax.random.fold_in(KEY, i),
+                             n_edge=128, n_surf=512, noise=0.01,
+                             max_range=12.0)
+        backend.submit(0.1 * i, edge, surf, np.asarray(traj[i]))
+    gate.set()
+    backend.flush()
+    assert backend.dropped > 0
+    assert backend.db.n_keyframes + backend.dropped == 8
+    backend.close()

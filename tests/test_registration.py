@@ -98,3 +98,36 @@ def test_degenerate_direction_is_frozen():
     assert abs(t[2]) < 0.02  # z corrected
     # x/y unobservable: update must not have wandered far
     assert abs(t[0]) < 0.05 and abs(t[1]) < 0.05
+
+
+def test_alignment_score_robust_at_map_boundary():
+    """The map-update gate mechanism (reference `backend_lifelong.hpp:
+    355-373`): a WELL-ALIGNED scan straddling the map frontier must keep an
+    alignment-quality score (≤ the 0.04 gate) while overlap reports partial
+    coverage — frontier points 0.5-1 m past the last mapped features count
+    toward coverage, not alignment. A genuinely misaligned scan must still
+    score far above the gate."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    # map: dense plane strip x ∈ [0, 10]
+    mx = np.stack([
+        rng.uniform(0, 10, 4000), rng.uniform(-4, 4, 4000),
+        rng.normal(0, 0.01, 4000),
+    ], 1).astype(np.float32)
+    map_pb = PointBatch(jnp.asarray(mx), jnp.ones(4000, bool))
+    # scan: same plane but x ∈ [5, 15] — half on-map, half frontier
+    sx = np.stack([
+        rng.uniform(5, 15, 1000), rng.uniform(-4, 4, 1000),
+        rng.normal(0, 0.01, 1000),
+    ], 1).astype(np.float32)
+    scan = PointBatch(jnp.asarray(sx), jnp.ones(1000, bool))
+    ident = se3.pose_identity()
+    score, overlap = registration.evaluate_alignment(scan, map_pb, ident)
+    assert 0.4 < float(overlap) < 0.95  # partial coverage visible
+    assert float(score) <= 0.04, float(score)  # alignment gate passes
+
+    # shift the scan 0.35 m off-plane: misaligned — must fail the gate
+    bad = PointBatch(scan.xyz + jnp.asarray([0.0, 0.0, 0.35]), scan.mask)
+    score_b, _ = registration.evaluate_alignment(bad, map_pb, ident)
+    assert float(score_b) > 0.04, float(score_b)
