@@ -29,9 +29,24 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 import os as _os
 
 if not _os.environ.get("LMSF_NO_COMPILE_CACHE"):
-    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)), _os.pardir, ".jax_cache"
-    )
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not _cache:
+        # source checkout: cache beside the repo (shared by evaluate/bench/
+        # tests). Installed package (site-packages — a directory the process
+        # may not own): fall back to a per-user cache dir.
+        _pkg_parent = _os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))
+        )
+        if _os.path.isdir(_os.path.join(_pkg_parent, ".git")):
+            _cache = _os.path.join(_pkg_parent, ".jax_cache")
+        else:
+            _cache = _os.path.join(
+                _os.environ.get(
+                    "XDG_CACHE_HOME",
+                    _os.path.join(_os.path.expanduser("~"), ".cache"),
+                ),
+                "lmsf_slam_tpu", "jax_cache",
+            )
     _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

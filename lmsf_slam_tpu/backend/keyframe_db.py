@@ -54,16 +54,92 @@ def _grow(arr: np.ndarray, new_cap: int) -> np.ndarray:
 from functools import partial  # noqa: E402
 
 
-@partial(jax.jit, static_argnames=("rings", "sectors"))
-def _sc_ringkey(exyz, emask, sxyz, smask, rings: int, sectors: int):
+@partial(jax.jit, static_argnames=("rings", "sectors", "ecap", "scap"))
+def _sc_ringkey(exyz, emask, sxyz, smask, rings: int, sectors: int,
+                ecap: int, scap: int):
     """Scan-context + ring key of a keyframe's feature clouds in ONE fused
     device program (the split path costs two dispatches + two transfers per
-    insert — RPC-bound on remote TPUs)."""
+    insert — RPC-bound on remote TPUs). Clouds are clipped to the database's
+    storage capacities FIRST so the descriptor describes exactly the points
+    the DB keeps (a descriptor of discarded overflow points would diverge
+    from the verification clouds on capacity overflow)."""
     both = PointBatch(
-        jnp.concatenate([exyz, sxyz]), jnp.concatenate([emask, smask])
+        jnp.concatenate([exyz[:ecap], sxyz[:scap]]),
+        jnp.concatenate([emask[:ecap], smask[:scap]]),
     )
     sc = scancontext.make_scan_context(both, rings=rings, sectors=sectors)
     return sc, scancontext.ring_key(sc)
+
+
+@jax.jit
+def _mirror_append_row(sc, rk, poses, pos, exyz, emk, sxyz, smk,
+                       nsc, nrk, npose, nexyz, nemk, nsxyz, nsmk, lo):
+    """Append ONE keyframe's rows to every mirror array in a single fused
+    device program. The naive path (one dynamic_update_slice dispatch per
+    array) costs 8 RPC round-trips per keyframe on a remote-TPU tunnel —
+    measured as the dominant share of the 380-500 ms/call backend search
+    stages in the round-4 profile."""
+    return (
+        jax.lax.dynamic_update_slice(sc, nsc[None], (lo, 0, 0)),
+        jax.lax.dynamic_update_slice(rk, nrk[None], (lo, 0)),
+        jax.lax.dynamic_update_slice(poses, npose[None], (lo, 0)),
+        jax.lax.dynamic_update_slice(pos, npose[None, 4:], (lo, 0)),
+        jax.lax.dynamic_update_slice(exyz, nexyz[None], (lo, 0, 0)),
+        jax.lax.dynamic_update_slice(emk, nemk[None], (lo, 0)),
+        jax.lax.dynamic_update_slice(sxyz, nsxyz[None], (lo, 0, 0)),
+        jax.lax.dynamic_update_slice(smk, nsmk[None], (lo, 0)),
+    )
+
+
+@jax.jit
+def _mirror_refresh_poses(poses_new):
+    """One-dispatch pose refresh after an optimize: returns (poses, pos)."""
+    return poses_new, poses_new[:, 4:]
+
+
+@jax.jit
+def _mirror_update_masks(emk, smk, nemk, nsmk, row):
+    return (
+        jax.lax.dynamic_update_slice(emk, nemk[None], (row, 0)),
+        jax.lax.dynamic_update_slice(smk, nsmk[None], (row, 0)),
+    )
+
+
+@jax.jit
+def _gather_local_map(exyz, emask, sxyz, smask, poses, ids, idmask):
+    """Fixed-K padded local-map assembly, entirely device-resident.
+
+    Gathers K keyframes' clouds from the resident mirror, transforms them
+    with their CURRENT optimized poses and flattens — one kernel with fully
+    static shapes. Replaces the per-call host→device cloud upload of
+    ``local_map_ids`` (variable K → fresh XLA compile + ~0.5 MB H2D per
+    localization/loop query; the reference's equivalent is a per-query disk
+    read + transform, `pose_graph_database.hpp:381-413`)."""
+    p = poses[ids]  # (K, 7)
+    ew = se3.pose_apply(p, exyz[ids])  # (K, E, 3)
+    sw = se3.pose_apply(p, sxyz[ids])
+    em = emask[ids] & idmask[:, None]
+    sm = smask[ids] & idmask[:, None]
+    return (
+        ew.reshape(-1, 3), em.reshape(-1),
+        sw.reshape(-1, 3), sm.reshape(-1),
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_gather_local_map(
+    exyz, emk, sxyz, smk, poses, pos, valid, query, max_id, k: int
+):
+    """kNN over the position mirror + fixed-K local-map gather, fused into
+    ONE device program — the localization local map costs a single dispatch
+    with no ids round-trip (ids never leave the device)."""
+    d2 = jnp.sum((pos - query[None, :]) ** 2, axis=-1)
+    ok = valid & (jnp.arange(pos.shape[0]) < max_id)
+    d2 = jnp.where(ok, d2, jnp.inf)
+    neg, ids = jax.lax.top_k(-d2, k)
+    idmask = jnp.isfinite(neg)
+    ids = jnp.where(idmask, ids, 0)
+    return _gather_local_map(exyz, emk, sxyz, smk, poses, ids, idmask)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -98,6 +174,7 @@ class KeyframeDatabase:
         sc_rings: int = scancontext.RINGS,
         sc_sectors: int = scancontext.SECTORS,
         storage_dir: str | None = None,
+        mirror_min_cap: int = 512,
     ):
         """``storage_dir``: if given, bulky per-keyframe payloads (feature
         clouds, descriptors) are disk-backed memmaps under this directory —
@@ -107,6 +184,12 @@ class KeyframeDatabase:
         self.surf_capacity = surf_capacity
         self.sc_shape = (sc_rings, sc_sectors)
         self.storage_dir = storage_dir
+        # device-mirror capacity floor: pow2 growth from 1 would recompile
+        # every searchable kernel (descriptor search, kNN, local-map gather)
+        # at each doubling — minutes each over a remote-TPU tunnel. Starting
+        # at ``mirror_min_cap`` rows (~65 KB/row of HBM) means ZERO
+        # shape-driven recompiles until the database truly outgrows it.
+        self.mirror_min_cap = mirror_min_cap
         if storage_dir is not None:
             os.makedirs(storage_dir, exist_ok=True)
         n = initial_keyframes
@@ -139,6 +222,9 @@ class KeyframeDatabase:
         # kdtree-rebuild policy, `SceneRecognitionScanContext.hpp:30-33,74-92`)
         self._mirror: dict | None = None
         self._pose_rev = 0  # bumped by update_poses → position mirror refresh
+        # keyframes whose masks were carved since the last mirror sync —
+        # their mirror rows are re-uploaded lazily (carving is rare)
+        self._dirty_rows: set[int] = set()
 
     def _alloc(self, name: str, shape, dtype):
         if self.storage_dir is None or name not in _DISK_FIELDS:
@@ -222,6 +308,8 @@ class KeyframeDatabase:
             sc_d, rk_d = _sc_ringkey(
                 edge_pb.xyz, edge_pb.mask, surf_pb.xyz, surf_pb.mask,
                 self.sc_shape[0], self.sc_shape[1],
+                min(edge_pb.xyz.shape[0], self.edge_capacity),
+                min(surf_pb.xyz.shape[0], self.surf_capacity),
             )
             exyz, emask, sxyz, smask, sc_np, rk = jax.device_get(
                 (edge_pb.xyz, edge_pb.mask, surf_pb.xyz, surf_pb.mask,
@@ -283,6 +371,7 @@ class KeyframeDatabase:
         / static-change map update TODO #5). Masks only ever shrink."""
         self.edge_mask[i] &= np.asarray(edge_keep, bool)
         self.surf_mask[i] &= np.asarray(surf_keep, bool)
+        self._dirty_rows.add(int(i))
 
     def local_map(
         self, center_id: int, half_window: int = 5
@@ -312,13 +401,18 @@ class KeyframeDatabase:
         )
         return edge, surf
 
-    def graph_arrays(self, pad_to_pow2: bool = True) -> GraphArrays:
-        """Padded device arrays for ``optimize_pose_graph`` (gauge = vertex 0)."""
+    def graph_arrays(
+        self, pad_to_pow2: bool = True, pad_min: int = 0
+    ) -> GraphArrays:
+        """Padded device arrays for ``optimize_pose_graph`` (gauge = vertex 0).
+
+        ``pad_min`` floors the padded vertex/edge capacity so the jitted
+        solver does not recompile at every pow2 growth of a young graph."""
         V = max(self.n_keyframes, 1)
         E = max(self.n_edges, 1)
         if pad_to_pow2:
-            V = 1 << (V - 1).bit_length()
-            E = 1 << (E - 1).bit_length()
+            V = max(1 << (V - 1).bit_length(), pad_min)
+            E = max(1 << (E - 1).bit_length(), pad_min)
         poses = np.zeros((V, 7), np.float32)
         poses[:, 0] = 1.0
         poses[: self.n_keyframes] = self.map_poses[: self.n_keyframes]
@@ -359,47 +453,132 @@ class KeyframeDatabase:
     def _mirror_sync(self) -> dict:
         """Bring the device mirror up to date. Costs: a full upload only on
         capacity growth (pow2, so ≤ log2 N times ever); otherwise one small
-        H2D of the delta rows; a positions refresh after each optimize."""
+        H2D of the delta rows (descriptors + feature clouds, ~65 KB per new
+        keyframe); a poses refresh after each optimize (a few KB); a mask
+        re-upload for rows carved since the last sync."""
         n = self.n_keyframes
-        cap = 1 << max(n - 1, 0).bit_length()
+        cap = max(1 << max(n - 1, 0).bit_length(), self.mirror_min_cap)
         m = self._mirror
         if m is None or m["cap"] < cap:
             sc = np.zeros((cap,) + self.sc_shape, np.float32)
             rk = np.zeros((cap, self.sc_shape[0]), np.float32)
-            pos = np.zeros((cap, 3), np.float32)
+            poses = np.zeros((cap, 7), np.float32)
+            poses[:, 0] = 1.0
+            exyz = np.zeros((cap, self.edge_capacity, 3), np.float32)
+            emk = np.zeros((cap, self.edge_capacity), bool)
+            sxyz = np.zeros((cap, self.surf_capacity, 3), np.float32)
+            smk = np.zeros((cap, self.surf_capacity), bool)
             sc[:n] = self.sc[:n]
             rk[:n] = self.ring_keys[:n]
-            pos[:n] = self.map_poses[:n, 4:]
+            poses[:n] = self.map_poses[:n]
+            exyz[:n] = self.edge_xyz[:n]
+            emk[:n] = self.edge_mask[:n]
+            sxyz[:n] = self.surf_xyz[:n]
+            smk[:n] = self.surf_mask[:n]
             m = dict(
                 cap=cap,
                 n=n,
                 pose_rev=self._pose_rev,
                 sc=jnp.asarray(sc),
                 rk=jnp.asarray(rk),
-                pos=jnp.asarray(pos),
+                poses=jnp.asarray(poses),
+                pos=jnp.asarray(poses[:, 4:].copy()),
+                exyz=jnp.asarray(exyz),
+                emk=jnp.asarray(emk),
+                sxyz=jnp.asarray(sxyz),
+                smk=jnp.asarray(smk),
                 valid=jnp.arange(cap) < n,
             )
             self._mirror = m
+            self._dirty_rows.clear()
             return m
         if m["n"] < n:
-            lo = m["n"]
-            m["sc"] = jax.lax.dynamic_update_slice(
-                m["sc"], jnp.asarray(self.sc[lo:n], jnp.float32), (lo, 0, 0)
-            )
-            m["rk"] = jax.lax.dynamic_update_slice(
-                m["rk"], jnp.asarray(self.ring_keys[lo:n], jnp.float32), (lo, 0)
-            )
-            m["pos"] = jax.lax.dynamic_update_slice(
-                m["pos"], jnp.asarray(self.map_poses[lo:n, 4:], jnp.float32), (lo, 0)
-            )
+            # one fused dispatch per new keyframe (usually exactly one)
+            for i in range(m["n"], n):
+                (m["sc"], m["rk"], m["poses"], m["pos"],
+                 m["exyz"], m["emk"], m["sxyz"], m["smk"]) = _mirror_append_row(
+                    m["sc"], m["rk"], m["poses"], m["pos"],
+                    m["exyz"], m["emk"], m["sxyz"], m["smk"],
+                    jnp.asarray(self.sc[i], jnp.float32),
+                    jnp.asarray(self.ring_keys[i], jnp.float32),
+                    jnp.asarray(self.map_poses[i], jnp.float32),
+                    jnp.asarray(self.edge_xyz[i], jnp.float32),
+                    jnp.asarray(self.edge_mask[i]),
+                    jnp.asarray(self.surf_xyz[i], jnp.float32),
+                    jnp.asarray(self.surf_mask[i]),
+                    i,
+                )
             m["valid"] = jnp.arange(m["cap"]) < n
+            self._dirty_rows -= set(range(m["n"], n))
             m["n"] = n
         if m["pose_rev"] != self._pose_rev:
-            pos = np.zeros((m["cap"], 3), np.float32)
-            pos[:n] = self.map_poses[:n, 4:]
-            m["pos"] = jnp.asarray(pos)
+            poses = np.zeros((m["cap"], 7), np.float32)
+            poses[:, 0] = 1.0
+            poses[:n] = self.map_poses[:n]
+            m["poses"], m["pos"] = _mirror_refresh_poses(jnp.asarray(poses))
             m["pose_rev"] = self._pose_rev
+        if self._dirty_rows:
+            for i in sorted(self._dirty_rows):
+                if i >= m["n"]:
+                    continue
+                m["emk"], m["smk"] = _mirror_update_masks(
+                    m["emk"], m["smk"],
+                    jnp.asarray(self.edge_mask[i]),
+                    jnp.asarray(self.surf_mask[i]),
+                    i,
+                )
+            self._dirty_rows.clear()
         return m
+
+    def local_map_ids_device(
+        self, ids: np.ndarray, k: int
+    ) -> tuple[PointBatch, PointBatch]:
+        """Device-resident fixed-K local map: pad ``ids`` to ``k`` entries
+        (masked tail) and assemble the union map in ONE static-shape kernel
+        over the resident cloud mirror. Cost per call: a K-int upload; no
+        per-call cloud transfer, no shape-dependent recompiles (one compile
+        per (capacity, K) pair, capacity pow2)."""
+        ids = np.asarray(ids, np.int32)[:k]
+        idp = np.zeros(k, np.int32)
+        idm = np.zeros(k, bool)
+        idp[: ids.size] = ids
+        idm[: ids.size] = True
+        m = self._mirror_sync()
+        ew, em, sw, sm = _gather_local_map(
+            m["exyz"], m["emk"], m["sxyz"], m["smk"], m["poses"],
+            jnp.asarray(idp), jnp.asarray(idm),
+        )
+        return PointBatch(ew, em), PointBatch(sw, sm)
+
+    def local_map_knn_device(
+        self, query_xyz, k: int, max_id: int | None = None
+    ) -> tuple[PointBatch, PointBatch]:
+        """kNN local map in ONE fused dispatch: top-k over the resident
+        position mirror feeds the cloud gather directly on device (the ids
+        never come to the host) — the localization-path replacement for
+        ``nearest_ids`` + ``local_map_ids`` (reference kNN local map,
+        `backend_lifelong.hpp:242-289`)."""
+        m = self._mirror_sync()
+        kk = min(k, m["cap"])
+        ew, em, sw, sm = _knn_gather_local_map(
+            m["exyz"], m["emk"], m["sxyz"], m["smk"], m["poses"],
+            m["pos"], m["valid"],
+            jnp.asarray(query_xyz, jnp.float32),
+            jnp.int32(self.n_keyframes if max_id is None else max_id),
+            kk,
+        )
+        return PointBatch(ew, em), PointBatch(sw, sm)
+
+    def local_map_device(
+        self, center_id: int, half_window: int = 5
+    ) -> tuple[PointBatch, PointBatch]:
+        """Fixed-K device flavor of :meth:`local_map` (K = 2·half_window+1,
+        ids clamped to the valid range, tail masked)."""
+        lo = max(0, center_id - half_window)
+        hi = min(self.n_keyframes - 1, center_id + half_window)
+        return self.local_map_ids_device(
+            np.arange(lo, hi + 1), 2 * half_window + 1
+        )
 
     def descriptor_arrays(self):
         """(sc (N,R,S), ring_keys (N,R), valid (N,)) — persistent device

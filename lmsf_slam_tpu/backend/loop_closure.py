@@ -24,8 +24,10 @@ structure, same acceptance thresholds, one compiled program each.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +40,53 @@ from ..ops.registration import (
     register_edge_surf,
 )
 from .keyframe_db import KeyframeDatabase
+
+
+@partial(jax.jit, static_argnames=("rough_params", "refine_params"))
+def _verify_fused(
+    edge: PointBatch,
+    surf: PointBatch,
+    map_edge: PointBatch,
+    map_surf: PointBatch,
+    init_pose,
+    rough_params: RegistrationParams,
+    refine_params: RegistrationParams,
+    rough_thresh,
+    min_overlap,
+):
+    """The ENTIRE two-stage geometric verification — rough registration →
+    alignment gate → refined registration → alignment — as ONE fused device
+    program (`lax.cond` skips the refine work when the rough gate fails).
+    The split path costs 4 dispatches + 4 result transfers per candidate;
+    on a remote-TPU tunnel that RPC overhead dominated the round-4
+    loop_detect profile. Returns (pose, score, overlap, converged,
+    n_constrained, rough_score)."""
+    rough = register_edge_surf(
+        edge, surf, map_edge, map_surf, init_pose, rough_params
+    )
+    r_score, r_overlap = evaluate_alignment(
+        surf, map_surf, rough.pose, min_overlap=min_overlap
+    )
+
+    def do_refine(_):
+        refined = register_edge_surf(
+            edge, surf, map_edge, map_surf, rough.pose, refine_params
+        )
+        s, o = evaluate_alignment(
+            surf, map_surf, refined.pose, min_overlap=min_overlap
+        )
+        return refined.pose, s, o, refined.converged, refined.n_constrained
+
+    def skip(_):
+        return (
+            rough.pose, jnp.float32(1e9), r_overlap,
+            jnp.array(False), jnp.int32(0),
+        )
+
+    pose, score, overlap, conv, ncon = jax.lax.cond(
+        r_score <= rough_thresh, do_refine, skip, None
+    )
+    return pose, score, overlap, conv, ncon, r_score
 
 
 class LoopConfig(NamedTuple):
@@ -110,14 +159,19 @@ class LoopDetector:
 
     # -- candidate search ---------------------------------------------------
 
-    def _sc_candidate(self, db: KeyframeDatabase, query_sc, newest_id: int):
+    def _sc_candidate(self, db: KeyframeDatabase, query_id: int, newest_id: int):
+        """Appearance candidate for keyframe ``query_id`` — the query
+        descriptor is sliced from the device mirror inside the fused search
+        (one dispatch, no upload)."""
         cfg = self.config
         sc_db, rk_db, valid = db.descriptor_arrays()
         cutoff = newest_id - max(cfg.exclude_recent, cfg.min_frame_interval)
         if cutoff <= 0:
             return None
         valid = valid & (jnp.arange(valid.shape[0]) < cutoff)
-        best_id, dist, yaw = scancontext.sc_search(query_sc, sc_db, rk_db, valid)
+        best_id, dist, yaw = scancontext.sc_search_id(
+            jnp.int32(query_id), sc_db, rk_db, valid
+        )
         best_id, dist, yaw = int(best_id), float(dist), float(yaw)
         if best_id < 0 or dist > cfg.sc_dist_thresh:
             return None
@@ -148,36 +202,33 @@ class LoopDetector:
         query scan."""
         cfg = self.config
         with self.timer("loop_localmap"):
-            map_edge, map_surf = db.local_map(cand_id, cfg.adjacent_window)
-        with self.timer("loop_rough"):
-            rough = register_edge_surf(
-                edge_pb, surf_pb, map_edge, map_surf, jnp.asarray(init_pose),
-                cfg.rough_params,
+            # fixed-K device-resident assembly: one static-shape kernel, no
+            # per-query cloud upload / shape-dependent recompile
+            map_edge, map_surf = db.local_map_device(
+                cand_id, cfg.adjacent_window
             )
-            score, overlap = evaluate_alignment(
-                surf_pb, map_surf, rough.pose, min_overlap=cfg.min_overlap
+        with self.timer("loop_verify"):
+            # rough → gate → refine → evaluate, all in ONE fused dispatch
+            out = _verify_fused(
+                edge_pb, surf_pb, map_edge, map_surf,
+                jnp.asarray(init_pose),
+                cfg.rough_params, cfg.refine_params,
+                jnp.float32(cfg.rough_score_thresh),
+                jnp.float32(cfg.min_overlap),
             )
-        if float(score) > cfg.rough_score_thresh:
+            pose, score, overlap, conv, ncon, rough_score = jax.device_get(out)
+        if float(rough_score) > cfg.rough_score_thresh:
             return None
-        with self.timer("loop_refine"):
-            refined = register_edge_surf(
-                edge_pb, surf_pb, map_edge, map_surf, rough.pose,
-                cfg.refine_params,
-            )
         # a loop edge must be fully constrained: 6/6 eigendirections of JᵀJ
         # above the degeneracy floor AND a converged solve — a ground-plane-
         # only or corridor match (x/y/yaw free) can score well yet fix
         # nothing (degeneracy spec: `edgeSurfFeatureRegistration.hpp:280-308`,
         # applied at accept time, not just solve time)
-        if not bool(refined.converged) or int(refined.n_constrained) < 6:
+        if not bool(conv) or int(ncon) < 6:
             return None
-        with self.timer("loop_refine"):
-            score, overlap = evaluate_alignment(
-                surf_pb, map_surf, refined.pose, min_overlap=cfg.min_overlap
-            )
         if float(score) > cfg.refine_score_thresh:
             return None
-        return np.asarray(refined.pose), float(score), float(overlap)
+        return np.asarray(pose), float(score), float(overlap)
 
     # -- public API -----------------------------------------------------------
 
@@ -195,9 +246,8 @@ class LoopDetector:
             return None
         self._last_attempt = new_id
 
-        query_sc = jnp.asarray(db.sc[new_id])
         with self.timer("loop_search"):
-            cand = self._sc_candidate(db, query_sc, new_id)
+            cand = self._sc_candidate(db, new_id, new_id)
         if cand is not None:
             # appearance candidate: init at the candidate pose rotated by the
             # scan-context yaw alignment (the SC match carries no translation)

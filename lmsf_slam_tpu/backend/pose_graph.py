@@ -263,7 +263,7 @@ def optimize_pose_graph(
             c = c + jnp.sum(jnp.where(msk, jnp.sum(ru * ru, -1), 0.0))
         return c
 
-    def gn_step(carry, _):
+    def gn_step(carry):
         p, done, iters = carry
         r, Ji, Jj = jax.vmap(_edge_res_jac)(p[i_idx], p[j_idx], edges_z)
         # whiten rows
@@ -336,8 +336,8 @@ def optimize_pose_graph(
         p0 = z0
         rz0 = jnp.sum(r0 * z0)
 
-        def pcg_body(c, _):
-            x, rr, zz, pp, rz = c
+        def pcg_body(c):
+            x, rr, zz, pp, rz, it = c
             Ap = matvec(pp)
             pAp = jnp.sum(pp * Ap)
             alpha = rz / jnp.where(jnp.abs(pAp) > 1e-20, pAp, 1e-20)
@@ -347,10 +347,16 @@ def optimize_pose_graph(
             rz_new = jnp.sum(rr * zz)
             beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
             pp = zz + beta * pp
-            return (x, rr, zz, pp, rz_new), None
+            return (x, rr, zz, pp, rz_new, it + 1)
 
-        (dx, _, _, _, _), _ = jax.lax.scan(
-            pcg_body, (x0, r0, z0, p0, rz0), None, length=params.pcg_iters
+        # early-exit PCG: residual-energy convergence relative to the
+        # initial preconditioned residual (well-conditioned windowed graphs
+        # converge in a handful of iterations — no reason to burn the cap)
+        (dx, _, _, _, _, _) = jax.lax.while_loop(
+            lambda c: (jnp.abs(c[4]) > params.pcg_tol * jnp.abs(rz0))
+            & (c[5] < params.pcg_iters),
+            pcg_body,
+            (x0, r0, z0, p0, rz0, jnp.array(0, jnp.int32)),
         )
         dx = _clamp_step(dx, params)
 
@@ -363,11 +369,18 @@ def optimize_pose_graph(
         small = (dx_norm < params.converged_dx) & (iters >= params.gnc_iters)
         p = jnp.where(done, p, new_p)
         iters = iters + jnp.where(done, 0, 1)
-        return (p, done | small, iters), None
+        return (p, done | small, iters)
 
     chi2_0 = chi2_of(poses)
     init = (poses, jnp.array(False), jnp.array(0, jnp.int32))
-    (poses_out, _, iters), _ = jax.lax.scan(gn_step, init, None, length=params.gn_iters)
+    # while_loop, not scan: a converged solve exits instead of burning the
+    # remaining gn_iters as frozen no-op iterations — the windowed per-batch
+    # re-solves in the lifelong backend typically converge in a fraction of
+    # the budget (the reference's g2o LM also iterates only until done,
+    # `graph_optimization_g2o.cpp:52-80`)
+    (poses_out, _, iters) = jax.lax.while_loop(
+        lambda c: (~c[1]) & (c[2] < params.gn_iters), gn_step, init
+    )
     return poses_out, PoseGraphStats(
         chi2_initial=chi2_0, chi2_final=chi2_of(poses_out), iterations=iters
     )

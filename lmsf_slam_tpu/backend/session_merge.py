@@ -117,17 +117,24 @@ def merge_sessions(
             sc=db_b.sc[i],
             gnss_pos=db_b.gnss_pos[i] if db_b.gnss_valid[i] else None,
         )
-    # B's internal edges, re-indexed
+    # B's internal edges, re-indexed (loop markings carried through so the
+    # per-edge robust-kernel policy survives the merge)
     for e in range(db_b.n_edges):
         i, j = db_b.eij[e]
         noise = 1.0 / np.maximum(db_b.esqrtw[e], 1e-12) ** 2
-        db_a.add_edge(int(i) + offset, int(j) + offset, db_b.ez[e], noise)
-    # verified inter-session edges: A-node → B-node
+        db_a.add_edge(
+            int(i) + offset, int(j) + offset, db_b.ez[e], noise,
+            loop=bool(db_b.eloop[e]),
+        )
+    # verified inter-session edges: A-node → B-node — loop-closure-class
+    # constraints (appearance-verified), so they get the robust kernel
     for a_id, b_id, pose_in_a in alignment.matches:
         z = np.asarray(
             se3.pose_between(
                 jnp.asarray(db_a.map_poses[a_id]), jnp.asarray(pose_in_a)
             )
         )
-        db_a.add_edge(int(a_id), int(b_id) + offset, z, inter_session_noise)
+        db_a.add_edge(
+            int(a_id), int(b_id) + offset, z, inter_session_noise, loop=True
+        )
     return offset

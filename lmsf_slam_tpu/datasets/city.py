@@ -197,3 +197,66 @@ def make_city_course(
     )
     t = np.stack([x, y, np.full_like(x, sensor_z)], axis=-1)
     return np.concatenate([q, t], axis=-1).astype(np.float32)
+
+
+def make_movers(
+    key,
+    blocks_x: int = 3,
+    blocks_y: int = 2,
+    pitch: float = 52.0,
+    n_movers: int = 8,
+    speed: float = 0.8,
+    size=(4.2, 1.8, 1.5),
+):
+    """Dynamic objects (cars) shuttling along the streets.
+
+    Returns ``mover_boxes(frame) -> (bmin (K,3), bmax (K,3))`` — per-frame
+    axis-aligned boxes to concatenate onto the static world (fixed K, so the
+    jitted ray caster compiles once). Each mover ping-pongs along one street
+    segment at ``speed`` m/frame, offset ~2 m from the street centerline so
+    it shares the carriageway with the ego course — exactly the transient
+    structure the dynamic-carving / unsupported-point stack (reference README
+    TODOs #4/#5) must erase from the lifelong map.
+    """
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    half = np.asarray(size, np.float32) / 2.0
+    segs = []  # (p0 (2,), p1 (2,), lateral offset sign)
+    for bi in range(blocks_x + 1):  # vertical streets
+        for bj in range(blocks_y):
+            p0 = np.array([bi * pitch, bj * pitch + 6.0])
+            p1 = np.array([bi * pitch, (bj + 1) * pitch - 6.0])
+            segs.append((p0, p1, np.array([2.0, 0.0])))
+    for bj in range(blocks_y + 1):  # horizontal streets
+        for bi in range(blocks_x):
+            p0 = np.array([bi * pitch + 6.0, bj * pitch])
+            p1 = np.array([(bi + 1) * pitch - 6.0, bj * pitch])
+            segs.append((p0, p1, np.array([0.0, 2.0])))
+    pick = rng.choice(len(segs), size=n_movers, replace=False)
+    starts = rng.uniform(0.0, 1.0, n_movers)
+
+    def mover_boxes(frame: int):
+        bmin = np.zeros((n_movers, 3), np.float32)
+        bmax = np.zeros((n_movers, 3), np.float32)
+        for m, (si, s0) in enumerate(zip(pick, starts)):
+            p0, p1, off = segs[si]
+            length = float(np.linalg.norm(p1 - p0))
+            # ping-pong parametrization along the segment
+            u = (s0 + frame * speed / length) % 2.0
+            u = u if u <= 1.0 else 2.0 - u
+            c = p0 + u * (p1 - p0) + off
+            bmin[m] = [c[0] - half[0], c[1] - half[1], 0.0]
+            bmax[m] = [c[0] + half[0], c[1] + half[1], size[2]]
+        return bmin, bmax
+
+    return mover_boxes
+
+
+def world_with_movers(world: SimWorld, mover_boxes, frame: int) -> SimWorld:
+    """Static city + this frame's mover boxes (fixed total box count)."""
+    bmin, bmax = mover_boxes(frame)
+    return SimWorld(
+        jnp.concatenate([world.boxes_min, jnp.asarray(bmin)]),
+        jnp.concatenate([world.boxes_max, jnp.asarray(bmax)]),
+        world.cylinders,
+        world.ground_z,
+    )

@@ -119,6 +119,11 @@ class NmeaStream:
     trailing lines are buffered (serial reads split sentences arbitrarily).
     """
 
+    # NMEA 0183 caps sentences at 82 chars; a terminator-free buffer beyond
+    # this is binary garbage or a wedged serial line — discard the stale
+    # head so the buffer cannot grow without bound
+    MAX_SENTENCE = 82
+
     def __init__(self):
         self._buf = ""
 
@@ -127,6 +132,9 @@ class NmeaStream:
             chunk = chunk.decode("ascii", errors="replace")
         self._buf += chunk
         *lines, self._buf = self._buf.replace("\r", "\n").split("\n")
+        if len(self._buf) > self.MAX_SENTENCE:
+            # keep only a sentence-length tail (a '$' may still arrive)
+            self._buf = self._buf[-self.MAX_SENTENCE:]
         out = []
         for line in lines:
             fix = parse_nmea(line)

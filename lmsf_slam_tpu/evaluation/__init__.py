@@ -1,3 +1,4 @@
+from .render import render_map  # noqa: F401
 from .metrics import (
     TrajectoryStats,
     ate_stats,

@@ -308,6 +308,29 @@ def register_point_to_plane(
     return register_edge_surf(empty, src, empty, map_pb, init_pose, params)
 
 
+@partial(jax.jit, static_argnames=("params",))
+def register_and_score(
+    src_edge: PointBatch,
+    src_surf: PointBatch,
+    map_edge: PointBatch,
+    map_surf: PointBatch,
+    init_pose: jax.Array,
+    params: RegistrationParams = RegistrationParams(),
+    min_overlap=0.2,
+):
+    """Registration + alignment evaluation fused into ONE device program —
+    the localization cycle (`backend_lifelong.hpp:283-323`) costs a single
+    dispatch and a single scalar transfer instead of two of each (RPC-bound
+    on remote TPUs). Returns (RegistrationResult, score, overlap)."""
+    reg = register_edge_surf(
+        src_edge, src_surf, map_edge, map_surf, init_pose, params
+    )
+    score, overlap = evaluate_alignment(
+        src_surf, map_surf, reg.pose, min_overlap=min_overlap
+    )
+    return reg, score, overlap
+
+
 # ---------------------------------------------------------------------------
 # NDT (point-to-distribution) — replaces ndt_omp
 # ---------------------------------------------------------------------------

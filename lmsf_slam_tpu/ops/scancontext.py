@@ -123,3 +123,19 @@ def sc_search(
     any_valid = jnp.any(db_valid)
     best_id = jnp.where(any_valid, cand[best], -1).astype(jnp.int32)
     return best_id, dist[best], shift_to_yaw(shift[best])
+
+
+@partial(jax.jit, static_argnames=("num_candidates",))
+def sc_search_id(
+    query_id,
+    db_sc: jax.Array,
+    db_ring_key: jax.Array,
+    db_valid: jax.Array,
+    num_candidates: int = 10,
+):
+    """``sc_search`` with the query taken from the database itself (row
+    ``query_id``) — the loop-detection case, where the query keyframe's
+    descriptor already lives in the device mirror. One dispatch, no
+    query-descriptor upload."""
+    q = db_sc[query_id]
+    return sc_search(q, db_sc, db_ring_key, db_valid, num_candidates)

@@ -106,11 +106,13 @@ class SystemConfig(NamedTuple):
     # calibration entirely; None → calibrate online
     extrinsics: Optional[tuple] = None
     # run the backend (loop detection + optimization) on a worker thread so
-    # the frontend never stalls (reference thread pipeline, §2.9);
-    # drop_when_full sheds keyframes under backend overload instead of
-    # blocking the frontend (the reference's capped data-manager deques)
+    # the frontend never stalls (reference thread pipeline, §2.9).
+    # async_policy: backpressure behavior when the worker falls behind —
+    # "coalesce" (default: supersede pending localization refreshes, never
+    # drop mapping keyframes), "block" (always lossless), "drop" (shed —
+    # measured to destroy quality at city scale, kept for experiments only)
     async_backend: bool = False
-    async_drop_when_full: bool = True
+    async_policy: str = "coalesce"
     # IMU-aided mode (the LIG system the reference stubs,
     # `LIG_System.hpp:173-182`): ESKF-propagated prediction + sweep deskew;
     # ``process`` then accepts per-frame IMU windows, and GNSS fixes fuse
@@ -240,9 +242,7 @@ class MultiLidarSystem:
         if config.async_backend:
             from ..backend.async_backend import AsyncBackend
 
-            self._async = AsyncBackend(
-                self.backend, drop_when_full=config.async_drop_when_full
-            )
+            self._async = AsyncBackend(self.backend, policy=config.async_policy)
 
         # fused per-frame program for the common path (single lidar, no
         # IMU, feature_based): preprocess → organize → features → track in
@@ -553,10 +553,14 @@ class MultiLidarSystem:
             if self._async is not None:
                 # enqueue only: corrections arrive via the published odom2map;
                 # GNSS priors and the scan grid ride the queue
-                odom2map, mode = self._async.submit(
+                odom2map, mode, enqueued = self._async.submit(
                     timestamp, edge, surf, odom_pose, gnss_pos=gnss,
                     scan_grid=grid_kw,
                 )
+                if not enqueued and gnss is not None:
+                    # shed item ("drop" policy): the fix must not vanish —
+                    # re-stash it so it rides the next stored keyframe
+                    self._pending_gnss = gnss
             else:
                 backend_out = self.backend.add_keyframe(
                     timestamp, edge, surf, odom_pose, gnss_pos=gnss,

@@ -62,6 +62,15 @@ class TrackerConfig(NamedTuple):
     motion_floor: float = 2.0  # m/frame always allowed (startup/acceleration)
     motion_gate_k: float = 3.0  # multiple of the smoothed speed allowed
     speed_ema_alpha: float = 0.3  # EMA update weight of the accepted speed
+    # gate warm-start / re-acquire: the speed-relative bound only applies
+    # once some non-trivial motion has been ACCEPTED (speed_ema > 0) —
+    # otherwise a sequence starting above motion_floor (KITTI highway
+    # ~2.5 m/frame, or rebooting mid-drive) would reject every solve forever
+    # (speed_ema is an EMA of accepted speed, so it could never grow). After
+    # ``gate_reopen_after`` consecutive rejections the bound also falls back
+    # to max_motion_trans so the tracker can re-acquire instead of holding
+    # position while the local map starves.
+    gate_reopen_after: int = 3
     # map-insertion health gate: a frame is inserted when its solve used at
     # least this many correspondences AND passed the motion gate. The
     # convergence flag is the WRONG gate here: at realistic noise the GN
@@ -94,6 +103,7 @@ class TrackerState(NamedTuple):
     pose: jax.Array  # (7,) current pose in odom frame
     motion: jax.Array  # (7,) last inter-frame increment (const-velocity)
     speed_ema: jax.Array  # f32 — smoothed accepted per-frame speed (m)
+    reject_streak: jax.Array  # int32 — consecutive motion-gate rejections
     edge_map: LocalMapState
     surf_map: LocalMapState
     edge_flat: PointBatch  # cached voxel-downsampled union map (odom frame)
@@ -115,6 +125,7 @@ def tracker_init(config: TrackerConfig) -> TrackerState:
         pose=se3.pose_identity(),
         motion=se3.pose_identity(),
         speed_ema=jnp.float32(0.0),
+        reject_streak=jnp.array(0, jnp.int32),
         edge_map=localmap_empty(config.window, config.edge_capacity),
         surf_map=localmap_empty(config.window, config.surf_capacity),
         edge_flat=PointBatch.empty(config.edge_map_capacity),
@@ -144,12 +155,22 @@ def tracker_step(
     if prediction is None:
         prediction = se3.pose_compose(state.pose, state.motion)
 
-    # speed-relative translation bound (see motion_floor/motion_gate_k)
-    trans_bound = jnp.minimum(
+    # speed-relative translation bound (see motion_floor/motion_gate_k);
+    # cold gate (no accepted motion yet) or a re-acquire after
+    # gate_reopen_after straight rejections falls back to the insanity
+    # ceiling so the tracker can lock on at any plausible speed
+    gate_open = (state.speed_ema <= 0.0) | (
+        state.reject_streak >= jnp.int32(config.gate_reopen_after)
+    )
+    trans_bound = jnp.where(
+        gate_open,
         jnp.float32(config.max_motion_trans),
-        jnp.maximum(
-            jnp.float32(config.motion_floor),
-            config.motion_gate_k * state.speed_ema,
+        jnp.minimum(
+            jnp.float32(config.max_motion_trans),
+            jnp.maximum(
+                jnp.float32(config.motion_floor),
+                config.motion_gate_k * state.speed_ema,
+            ),
         ),
     )
 
@@ -267,6 +288,9 @@ def tracker_step(
         speed_ema=jnp.where(
             first, state.speed_ema,
             (1.0 - a) * state.speed_ema + a * speed,
+        ),
+        reject_streak=jnp.where(
+            first | solve_ok, jnp.int32(0), state.reject_streak + 1
         ),
         edge_map=new_edge_map,
         surf_map=new_surf_map,

@@ -135,3 +135,80 @@ def test_drop_when_full_sheds_instead_of_blocking():
     assert backend.dropped > 0
     assert backend.db.n_keyframes + backend.dropped == 8
     backend.close()
+
+
+def test_coalesce_supersedes_localization_refreshes():
+    """Production backpressure: while LOCALIZING, a full queue supersedes the
+    newest pending refresh instead of blocking or dropping — and an item
+    carrying a GNSS fix is never the victim (round-4 weak #1)."""
+    import threading
+
+    backend = AsyncBackend(
+        LifelongBackend(loop_config=_loop_cfg(),
+                        mode=WorkMode.LOCALIZATION),
+        max_queue=2, policy="coalesce",
+    )
+    gate = threading.Event()
+    orig = backend.backend.add_keyframe
+    processed_stamps = []
+
+    def slow_add(stamp, *a, **k):
+        gate.wait(timeout=5.0)
+        processed_stamps.append(round(stamp, 3))
+        return orig(stamp, *a, **k)
+
+    backend.backend.add_keyframe = slow_add
+    world = make_world(KEY, extent=25.0, n_pillars=30, n_ground=3000,
+                       n_wall=1500)
+    traj = make_trajectory(8, radius=8.0, loop=False)
+    submit_times = []
+    for i in range(8):
+        edge, surf = scan_at(world, traj[i], jax.random.fold_in(KEY, i),
+                             n_edge=128, n_surf=512, noise=0.01,
+                             max_range=12.0)
+        gnss = np.asarray(traj[i])[4:] if i == 2 else None
+        t0 = time.perf_counter()
+        _, _, enq = backend.submit(0.1 * i, edge, surf, np.asarray(traj[i]),
+                                   gnss_pos=gnss)
+        submit_times.append(time.perf_counter() - t0)
+        assert enq  # coalesce never sheds the NEW item
+    gate.set()
+    backend.flush()
+    # queue cap 2 + 1 in-flight: most refreshes were superseded, none dropped
+    assert backend.coalesced > 0
+    assert backend.dropped == 0
+    assert len(processed_stamps) == 8 - backend.coalesced
+    # the GNSS-carrying item (stamp 0.2) was never the coalesce victim
+    assert 0.2 in processed_stamps
+    # and the frontend never blocked on the stalled worker
+    assert max(submit_times) < 0.5
+    backend.close()
+
+
+def test_coalesce_lossless_in_mapping():
+    """In MAPPING mode the coalesce policy must behave lossless (never drop
+    a mapping keyframe): every submitted keyframe is stored."""
+    backend = AsyncBackend(
+        LifelongBackend(loop_config=_loop_cfg()), max_queue=2,
+        policy="coalesce",
+    )
+    orig = backend.backend.add_keyframe
+
+    def slow_add(*a, **k):
+        time.sleep(0.02)
+        return orig(*a, **k)
+
+    backend.backend.add_keyframe = slow_add
+    world = make_world(KEY, extent=25.0, n_pillars=30, n_ground=3000,
+                       n_wall=1500)
+    traj = make_trajectory(8, radius=8.0, loop=False)
+    for i in range(8):
+        edge, surf = scan_at(world, traj[i], jax.random.fold_in(KEY, i),
+                             n_edge=128, n_surf=512, noise=0.01,
+                             max_range=12.0)
+        backend.submit(0.1 * i, edge, surf, np.asarray(traj[i]))
+    backend.flush()
+    assert backend.dropped == 0
+    assert backend.coalesced == 0
+    assert backend.db.n_keyframes == 8
+    backend.close()

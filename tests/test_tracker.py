@@ -128,3 +128,36 @@ def test_tracker_odometry_failure_gate():
     gt_rel = se3.pose_between(traj[0], traj[n_frames - 1])
     err = se3.pose_between(gt_rel, out.pose)
     assert float(jnp.linalg.norm(se3.pose_trans(err))) < 0.3
+
+
+def test_tracker_fast_start_gate_warmup():
+    """Advisor r4 (medium): a sequence that STARTS above motion_floor
+    (KITTI-highway-class ~2.5 m/frame, or rebooting mid-drive) must not
+    deadlock the speed-relative motion gate — cold gate falls back to
+    max_motion_trans until motion is first accepted, and re-opens after
+    consecutive rejections."""
+    key = jax.random.PRNGKey(5)
+    world = make_world(key, extent=40.0, n_pillars=60, n_ground=6000,
+                       n_wall=3000)
+    n = 12
+    traj = make_trajectory(40, radius=16.0, loop=False)  # ≈2.5 m/frame
+    config = TrackerConfig(
+        window=8, edge_capacity=256, surf_capacity=1024,
+        map_update_trans=0.2,
+        registration=RegistrationParams(max_iters=16, max_corr_dist=4.0),
+    )
+    state = tracker_init(config)
+    for i in range(n):
+        edge, surf = scan_at(
+            world, traj[i], jax.random.fold_in(key, i),
+            n_edge=256, n_surf=1024, noise=0.01,
+        )
+        state, out = tracker_step(state, edge, surf, jnp.float32(0.1 * i),
+                                  config)
+    gt_rel = se3.pose_between(traj[0], traj[n - 1])
+    gt_dist = float(jnp.linalg.norm(se3.pose_trans(gt_rel)))
+    est_dist = float(jnp.linalg.norm(se3.pose_trans(state.pose)))
+    # the old gate held position forever (est_dist ≈ 0); the warm-started
+    # gate must actually travel
+    assert est_dist > 0.5 * gt_dist, (est_dist, gt_dist)
+    assert float(state.speed_ema) > 1.0
