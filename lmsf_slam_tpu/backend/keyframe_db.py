@@ -448,6 +448,15 @@ class KeyframeDatabase:
         )
         self._pose_rev += 1
 
+    def update_poses_range(self, start: int, optimized: np.ndarray):
+        """Write back a contiguous pose slice ``[start, start+len)`` — the
+        window-local incremental solve touches only its free window."""
+        stop = min(start + optimized.shape[0], self.n_keyframes)
+        self.map_poses[start:stop] = np.asarray(
+            optimized[: stop - start], np.float32
+        )
+        self._pose_rev += 1
+
     # -- device search mirror -------------------------------------------------
 
     def _mirror_sync(self) -> dict:

@@ -83,6 +83,14 @@ class LifelongConfig(NamedTuple):
     # (2, 4, …, 512) — minutes each over a remote-TPU tunnel (round-4
     # optimize_win mean 1.1-2.3 s was compile-dominated)
     graph_pad_min: int = 512
+    # padded vertex capacity of the *window-local* subgraph solve: windowed
+    # re-solves extract only the free window + its fixed boundary vertices,
+    # so per-keyframe optimization cost is O(window), independent of total
+    # graph size — the iSAM2 scaling property (`graph_optimization_gtsam.cpp:
+    # 42-60` updates in ~ms because it touches only affected cliques; here
+    # the "affected clique" is the window subgraph and the solve is one
+    # static-shape XLA program that never regrows with the database)
+    window_pad_min: int = 128
     localization_params: RegistrationParams = RegistrationParams(
         max_iters=8, max_corr_dist=2.0
     )
@@ -466,13 +474,12 @@ class LifelongBackend:
         re-solve); loop closures call with ``full=True``."""
         if self.db.n_edges == 0 or self.db.n_keyframes < 2:
             return None
-        g = self.db.graph_arrays(pad_min=self.config.graph_pad_min)
-        fixed = None
         w = self.config.optimize_window
         if not full and w > 0 and self.db.n_keyframes > w + 1:
-            fixed_np = np.zeros(g.poses.shape[0], bool)
-            fixed_np[: self.db.n_keyframes - w] = True
-            fixed = jnp.asarray(fixed_np)
+            self.solver_runs["windowed"] += 1
+            return self._optimize_window(w)
+        g = self.db.graph_arrays(pad_min=self.config.graph_pad_min)
+        fixed = None
         priors = {}
         gnss_ids = np.nonzero(self.db.gnss_valid[: self.db.n_keyframes])[0]
         if gnss_ids.size > 0:
@@ -519,12 +526,8 @@ class LifelongBackend:
             and self.config.schur_submaps > 0
             and int(np.sum(np.asarray(g.vmask))) >= self.config.schur_min_vertices
         )
-        windowed = (
-            not full and w > 0 and self.db.n_keyframes > w + 1 and not use_schur
-        )
         self.solver_runs[
-            "full_schur" if use_schur
-            else ("windowed" if windowed else "full_replicated")
+            "full_schur" if use_schur else "full_replicated"
         ] += 1
         if use_schur:
             from ..parallel.schur import optimize_pose_graph_schur
@@ -558,6 +561,107 @@ class LifelongBackend:
                 **priors,
             )
         self.db.update_poses(np.asarray(poses))
+        return stats
+
+    def _optimize_window(self, w: int):
+        """Window-local incremental re-solve — cost O(window), not O(graph).
+
+        The reference's gtsam path gets ms-scale per-keyframe updates from
+        iSAM2's incremental factorization (`graph_optimization_gtsam.cpp:
+        42-60`: only the cliques touched by new factors are re-eliminated).
+        The TPU-native equivalent: extract the subgraph of the newest ``w``
+        vertices plus the fixed boundary vertices their edges reach (the
+        chain predecessor + any loop-edge anchors), pad it to a *constant*
+        capacity (``window_pad_min``), and run the same batched GN/PCG on
+        that — one small static-shape XLA program whose cost never grows
+        with the database. Older vertices act as the fixed linearization
+        boundary, exactly the role of iSAM2's unaffected cliques; loop
+        closures still trigger full (Schur) solves in ``optimize``.
+        """
+        db = self.db
+        n = db.n_keyframes
+        base = n - w
+        ne = db.n_edges
+        eij = db.eij[:ne]
+        sel = np.nonzero((eij[:, 0] >= base) | (eij[:, 1] >= base))[0]
+        ends = eij[sel]
+        old_ids = np.unique(ends[ends < base])
+        n_old = int(old_ids.size)
+        gids = np.concatenate(
+            [old_ids.astype(np.int64), np.arange(base, n)]
+        ).astype(np.int32)
+        V = int(gids.size)
+        E = int(sel.size)
+        lut = np.zeros(n, np.int32)
+        lut[gids] = np.arange(V, dtype=np.int32)
+        pad = self.config.window_pad_min
+        Vp = max(1 << max(V - 1, 0).bit_length(), pad)
+        Ep = max(1 << max(E - 1, 0).bit_length(), pad * 2)
+        poses = np.zeros((Vp, 7), np.float32)
+        poses[:, 0] = 1.0
+        poses[:V] = db.map_poses[gids]
+        vmask = np.zeros(Vp, bool)
+        vmask[:V] = True
+        # boundary vertices are the gauge; a window with no boundary cannot
+        # occur (the chain edge base-1→base always selects base-1)
+        fixed = np.ones(Vp, bool)
+        fixed[n_old:V] = False
+        eijp = np.zeros((Ep, 2), np.int32)
+        ez = np.zeros((Ep, 7), np.float32)
+        ez[:, 0] = 1.0
+        esw = np.zeros((Ep, 6), np.float32)
+        emask = np.zeros(Ep, bool)
+        erob = np.zeros(Ep, bool)
+        eijp[:E] = lut[ends]
+        ez[:E] = db.ez[sel]
+        esw[:E] = db.esqrtw[sel]
+        emask[:E] = True
+        erob[:E] = db.eloop[sel]
+        priors = {}
+        gnss_ids = np.nonzero(db.gnss_valid[base:n])[0] + base
+        if gnss_ids.size > 0:
+            K = 1 << (int(gnss_ids.size) - 1).bit_length()
+            pidx = np.zeros(K, np.int32)
+            pxyz = np.zeros((K, 3), np.float32)
+            pmask = np.zeros(K, bool)
+            pidx[: gnss_ids.size] = lut[gnss_ids]
+            pxyz[: gnss_ids.size] = db.gnss_pos[gnss_ids]
+            pmask[: gnss_ids.size] = True
+            priors = dict(
+                prior_xyz=jnp.asarray(pxyz),
+                prior_idx=jnp.asarray(pidx),
+                prior_sqrtw=jnp.full((K, 3), 1.0 / self.config.gnss_std),
+                prior_mask=jnp.asarray(pmask),
+            )
+        cad = self.config.plane_constraint_every
+        if cad > 0:
+            ids = np.arange(0, n, cad, dtype=np.int64)
+            ids = ids[ids >= base]
+            K = 1 << max(int(ids.size) - 1, 0).bit_length()
+            pl_idx = np.zeros(K, np.int32)
+            pl_mask = np.zeros(K, bool)
+            pl_idx[: ids.size] = lut[ids]
+            pl_mask[: ids.size] = True
+            sw = np.array(
+                [1.0 / self.config.plane_std_z]
+                + [1.0 / self.config.plane_std_rp] * 2,
+                np.float32,
+            )
+            priors.update(
+                plane_idx=jnp.asarray(pl_idx),
+                plane_z=jnp.full(K, self.config.plane_z, jnp.float32),
+                plane_sqrtw=jnp.broadcast_to(jnp.asarray(sw), (K, 3)),
+                plane_mask=jnp.asarray(pl_mask),
+            )
+        opt, stats = optimize_pose_graph(
+            jnp.asarray(poses), jnp.asarray(vmask), jnp.asarray(eijp),
+            jnp.asarray(ez), jnp.asarray(esw), jnp.asarray(emask),
+            fixed=jnp.asarray(fixed),
+            edges_robust=jnp.asarray(erob),
+            params=self.config.pose_graph,
+            **priors,
+        )
+        db.update_poses_range(base, np.asarray(opt)[n_old:V])
         return stats
 
     def force_global_optimize(self):

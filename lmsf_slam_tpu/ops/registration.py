@@ -49,8 +49,12 @@ class RegistrationParams(NamedTuple):
     # floor misreads marginal-but-real constraints as degenerate (measured:
     # loop verification at sim density reports 4-5/6 constrained under
     # floor 100 with ~900 matches — eigenvalues ~100-300 — where 0.01/match
-    # → floor 9 correctly reports 6/6).
-    degen_rel: float = 0.0
+    # → floor 9 correctly reports 6/6). Density-independent, so it is the
+    # DEFAULT (round-5: a 16×360 scan at default params froze translation —
+    # nc=3 at ~340 matches — and the tracker held identity forever; the
+    # absolute floor is kept only as the explicit opt-out ``degen_rel=0``
+    # for reference-density raw-scan regimes).
+    degen_rel: float = 0.01
     damping: float = 1e-4  # LM-style diagonal damping
     trans_converged: float = 5e-4  # m   (ref: 0.05 cm)
     rot_converged: float = 1e-3  # rad (ref: 0.05°)

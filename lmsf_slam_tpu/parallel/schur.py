@@ -50,6 +50,10 @@ from ..backend.pose_graph import (
 )
 
 
+# executable cache for the jitted Schur driver (see optimize_pose_graph_schur)
+_RUN_CACHE: dict = {}
+
+
 def _pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
@@ -293,8 +297,8 @@ def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
     def allreduce(x):
         return jax.lax.psum(x, axis) if axis is not None else x
 
-    def step(poses, t, e_idx, e_mask, cls, loc, l2g, l2g_mask, int_ids,
-             int_mask, u_idx, u_mask, u_cls, u_loc, u_gsep,
+    def step(poses, t, sep_ids, e_idx, e_mask, cls, loc, l2g, l2g_mask,
+             int_ids, int_mask, u_idx, u_mask, u_cls, u_loc, u_gsep,
              edges_ij, edges_z, edges_sqrtw, edges_robust,
              u_vid, u_z, u_sw, u_typ):
         S_l = e_idx.shape[0]
@@ -442,9 +446,11 @@ def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
         Hsep = allreduce(Hsep - Hs_corr)
         gsep = allreduce(g_sep.reshape(n6) - gs_corr)
 
-        sep_pad = jnp.repeat(
-            jnp.asarray(part.sep_ids < 0), 6
-        ).astype(Hsep.dtype)
+        # sep_ids is a TRACED input, never a baked constant: the jitted
+        # driver is memoized on shapes, and a later graph with the same
+        # padded sizes has a different separator set — baking the first
+        # call's ids would scatter separator increments to wrong vertices
+        sep_pad = jnp.repeat((sep_ids < 0), 6).astype(Hsep.dtype)
         Hsep = Hsep + jnp.diag(sep_pad) + jnp.eye(n6) * params.damping
         chol_s = jnp.linalg.cholesky(Hsep)
         dx_sep = _spd_solve(chol_s, (-gsep)[:, None])[:, 0]  # (6·n_sep,)
@@ -464,14 +470,11 @@ def _schur_gn_body(part: SubmapPartition, params: PoseGraphParams, axis):
             num_segments=V + 1,
         )[:V]
         dxv = allreduce(dxv)
-        sep_ids_safe = jnp.where(
-            jnp.asarray(part.sep_ids) >= 0, jnp.asarray(part.sep_ids), V
-        )
+        sep_ids_safe = jnp.where(sep_ids >= 0, sep_ids, V)
         # dx_sep is replicated (each device solved the same psum'd system),
         # so it is added locally, NOT summed across devices
         dxv = dxv + jax.ops.segment_sum(
-            dx_sep.reshape(part.n_sep, 6)
-            * (jnp.asarray(part.sep_ids) >= 0)[:, None],
+            dx_sep.reshape(part.n_sep, 6) * (sep_ids >= 0)[:, None],
             sep_ids_safe,
             num_segments=V + 1,
         )[:V]
@@ -591,13 +594,7 @@ def optimize_pose_graph_schur(
     u_sw_d = jnp.asarray(u_sw)
     u_typ_d = jnp.asarray(u_typ)
 
-    def chi2_of(p):
-        r = jax.vmap(edge_residual)(p[e_ij[:, 0]], p[e_ij[:, 1]], e_z) * e_sw
-        c = jnp.sum(r * r)
-        if u_vid.size:
-            ru = jax.vmap(_unary_residual)(p[u_vid_d], u_z_d, u_sw_d, u_typ_d)
-            c = c + jnp.sum(ru * ru)
-        return c
+    has_unaries = bool(u_vid.size)
 
     consts = (
         jnp.asarray(part.e_idx), jnp.asarray(part.e_mask),
@@ -608,38 +605,73 @@ def optimize_pose_graph_schur(
         jnp.asarray(part.u_cls), jnp.asarray(part.u_loc),
         jnp.asarray(part.u_gsep),
     )
-    repl = (e_ij, e_z, e_sw, e_rob, u_vid_d, u_z_d, u_sw_d, u_typ_d)
-
-    def run(p0, e_ij, e_z, e_sw, e_rob, u_vid, u_z, u_sw, u_typ, *consts_dev):
-        def body(carry, _):
-            p, done, iters = carry
-            new_p, dxn = step(
-                p, iters, *consts_dev, e_ij, e_z, e_sw, e_rob,
-                u_vid, u_z, u_sw, u_typ,
-            )
-            # no convergence mid-GNC-anneal (surrogate still changing)
-            small = (dxn < params.converged_dx) & (iters >= params.gnc_iters)
-            p = jnp.where(done, p, new_p)
-            return (p, done | small, iters + jnp.where(done, 0, 1)), None
-
-        init = (p0, jnp.array(False), jnp.array(0, jnp.int32))
-        (out, _, iters), _ = jax.lax.scan(
-            body, init, None, length=params.gn_iters
-        )
-        return out, iters
-
-    if mesh is None:
-        out, iters = jax.jit(run)(jnp.asarray(poses), *repl, *consts)
-    else:
-        axis_n = mesh.axis_names[0]
-        in_specs = (
-            (P(),) * (1 + len(repl)) + (P(axis_n),) * len(consts)
-        )
-        shard_run = jax.shard_map(
-            run, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
-            check_vma=False,
-        )
-        out, iters = jax.jit(shard_run)(jnp.asarray(poses), *repl, *consts)
-    return out, PoseGraphStats(
-        chi2_of(jnp.asarray(poses)), chi2_of(out), iters
+    repl = (
+        jnp.asarray(part.sep_ids, jnp.int32),
+        e_ij, e_z, e_sw, e_rob, u_vid_d, u_z_d, u_sw_d, u_typ_d,
     )
+
+    # the jitted driver is memoized on (static partition geometry, params,
+    # mesh, input shapes): `step` reads the partition arrays as traced
+    # inputs and closes over `part` only through its padded sizes, so two
+    # calls with equal key share one executable — without this every solve
+    # re-traces + re-lowers a 12-iteration scan (≈2 s host work per call at
+    # city scale, 80× the actual device solve time)
+    key = (
+        params, None if mesh is None else id(mesh),
+        part.n_submaps, part.m, part.k, part.n_sep,
+        tuple((tuple(a.shape), str(a.dtype)) for a in (jnp.asarray(poses), *repl)),
+        tuple((tuple(c.shape), str(c.dtype)) for c in consts),
+    )
+    run_jit = _RUN_CACHE.get(key)
+    if run_jit is None:
+
+        def run(p0, sep_ids, e_ij, e_z, e_sw, e_rob, u_vid, u_z, u_sw,
+                u_typ, *consts_dev):
+            def body(carry, _):
+                p, done, iters = carry
+                new_p, dxn = step(
+                    p, iters, sep_ids, *consts_dev, e_ij, e_z, e_sw, e_rob,
+                    u_vid, u_z, u_sw, u_typ,
+                )
+                # no convergence mid-GNC-anneal (surrogate still changing)
+                small = (
+                    (dxn < params.converged_dx) & (iters >= params.gnc_iters)
+                )
+                p = jnp.where(done, p, new_p)
+                return (p, done | small, iters + jnp.where(done, 0, 1)), None
+
+            init = (p0, jnp.array(False), jnp.array(0, jnp.int32))
+            (out, _, iters), _ = jax.lax.scan(
+                body, init, None, length=params.gn_iters
+            )
+
+            # chi2 before/after inside the same executable: an eager
+            # (unjitted) vmap evaluation here costs hundreds of ms of
+            # op-by-op dispatch per solve
+            def chi2_of(p):
+                r = jax.vmap(edge_residual)(
+                    p[e_ij[:, 0]], p[e_ij[:, 1]], e_z
+                ) * e_sw
+                c = jnp.sum(r * r)
+                if has_unaries:
+                    ru = jax.vmap(_unary_residual)(p[u_vid], u_z, u_sw, u_typ)
+                    c = c + jnp.sum(ru * ru)
+                return c
+
+            return out, iters, chi2_of(p0), chi2_of(out)
+
+        if mesh is None:
+            run_jit = jax.jit(run)
+        else:
+            axis_n = mesh.axis_names[0]
+            in_specs = (
+                (P(),) * (1 + len(repl)) + (P(axis_n),) * len(consts)
+            )
+            run_jit = jax.jit(jax.shard_map(
+                run, mesh=mesh, in_specs=in_specs,
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            ))
+        _RUN_CACHE[key] = run_jit
+    out, iters, chi2_0, chi2_1 = run_jit(jnp.asarray(poses), *repl, *consts)
+    return out, PoseGraphStats(chi2_0, chi2_1, iters)

@@ -561,6 +561,17 @@ class MultiLidarSystem:
                     # shed item ("drop" policy): the fix must not vanish —
                     # re-stash it so it rides the next stored keyframe
                     self._pending_gnss = gnss
+                if mode is WorkMode.RELOCALIZATION:
+                    # while the system does not know where it is, the
+                    # frontend must not run ahead of the relocalizer:
+                    # pre-reloc frames would be published in the odometry
+                    # frame and every queued scan is a stale reloc attempt
+                    # once one succeeds (the reference's boot path is
+                    # equally blocking: SystemLoad → RELOCALIZATION gates
+                    # processing until a match, `backend_lifelong.hpp:
+                    # 97-118`). Drain the queue so relocalization happens
+                    # at frame cadence, then resume pipelining.
+                    self._async.flush()
             else:
                 backend_out = self.backend.add_keyframe(
                     timestamp, edge, surf, odom_pose, gnss_pos=gnss,

@@ -242,6 +242,17 @@ def run_city_lifelong(args):
     if first is not None:
         est, gt = est[first:], gt[first:]
     system._lifelong_modes = modes  # picked up by main() for reporting
+    if args.ref_traj:
+        # the claim-relevant reboot number: UNALIGNED map-frame RMSE of the
+        # reboot trajectory vs the ORIGINAL session's estimate at the same
+        # course frames — proves the relocalization transform landed in the
+        # prior session's map frame (an aligned-vs-gt ATE cannot; it would
+        # forgive an arbitrary rigid offset)
+        ref = np.loadtxt(args.ref_traj).reshape(-1, 3, 4)
+        lo = start + (first or 0)
+        ref_t = ref[lo : lo + est.shape[0], :, 3]
+        d = np.linalg.norm(est[: ref_t.shape[0], 4:] - ref_t, axis=1)
+        system._map_frame_rmse = float(np.sqrt(np.mean(d**2)))
     return system, est, gt, wall, lat
 
 
@@ -300,6 +311,9 @@ def main():
                     help="save the lifelong database here after the run")
     ap.add_argument("--boot-from", default="",
                     help="city: boot from a saved database and relocalize")
+    ap.add_argument("--ref-traj", default="",
+                    help="city lifelong: original session's est_path.txt — "
+                    "report unaligned map-frame RMSE against it")
     ap.add_argument("--start", type=int, default=None,
                     help="city lifelong: course frame to start the reboot at"
                     " (default: course midpoint)")
@@ -383,6 +397,9 @@ def main():
     if modes is not None:
         result["reloc_frames"] = sum(m == "RELOCALIZATION" for m in modes)
         result["modes_seen"] = sorted(set(modes))
+    mf = getattr(system, "_map_frame_rmse", None)
+    if mf is not None:
+        result["map_frame_rmse_vs_session"] = round(mf, 4)
     if gt is not None:
         save_kitti_trajectory(gt, os.path.join(args.out, "ground_truth.txt"))
         s = ate_stats(est, gt)

@@ -282,3 +282,26 @@ def test_schur_unary_priors_on_mesh():
         fixed=np.zeros(V, bool), params=params, **priors,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-3)
+
+
+def test_schur_executable_reuse_across_partitions():
+    """Two graphs with IDENTICAL padded shapes but DIFFERENT separator sets,
+    solved back-to-back: the memoized jitted driver must not bake the first
+    call's partition (separator vertex ids) into the executable — the
+    round-5 city-tail regression (ATE 0.25 → 3.1 m) was exactly this."""
+    params = PoseGraphParams(gn_iters=20, kernel="none", converged_dx=1e-7)
+    for seed in (3, 4):  # different loop edges → different separators
+        poses, eij, ez, _ = _chain_graph(n=48, n_loops=4, seed=seed)
+        V, E = poses.shape[0], eij.shape[0]
+        sqrtw = jnp.ones((E, 6), jnp.float32) * 10.0
+        emask = jnp.ones(E, bool)
+        ref, _ = optimize_pose_graph(
+            poses, jnp.ones(V, bool), eij, ez, sqrtw, emask,
+            params=PoseGraphParams(
+                gn_iters=40, pcg_iters=256, kernel="none", converged_dx=1e-7
+            ),
+        )
+        out, _ = optimize_pose_graph_schur(
+            poses, eij, ez, sqrtw, emask, n_submaps=4, params=params,
+        )
+        assert _geo_err(ref, out) < 5e-3, f"seed {seed}"

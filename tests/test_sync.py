@@ -103,3 +103,77 @@ def test_stream_ingest_dual_lidar_matches_synced(monkeypatch):
     for t, (p, s) in stub.calls:
         assert p[1:] == s[1:]  # frame indices agree ("pN" with "sN")
         assert p[0] == "p" and s[0] == "s"  # primary first, its stamp used
+
+
+def test_unsynced_dual_lidar_reproduces_synced():
+    """End-to-end: the SAME dual-lidar course fed (a) pre-synced through
+    ``process([s0, s1], t)`` and (b) as two UNSYNCED jittered streams through
+    :class:`StreamIngest` produces the same trajectory — the reference's
+    `message_filters::ApproximateTime` capability
+    (`MultiLidarSLAM_node.cpp:520-535`) on the repo's own frontend."""
+    import jax
+    import jax.numpy as jnp
+
+    from lmsf_slam_tpu.backend import LoopConfig
+    from lmsf_slam_tpu.common import se3
+    from lmsf_slam_tpu.datasets import make_sim_world, simulate_scan
+    from lmsf_slam_tpu.ops.registration import RegistrationParams
+    from lmsf_slam_tpu.system import (
+        FeatureParams, MultiLidarSystem, SystemConfig,
+    )
+
+    key = jax.random.PRNGKey(7)
+    world = make_sim_world(key, extent=22.0, n_boxes=10, n_cylinders=18)
+    x_true = se3.make_pose(
+        se3.so3_exp_quat(jnp.asarray([0.0, 0.0, np.deg2rad(25.0)])),
+        jnp.asarray([0.0, -0.5, 0.2]),
+    )
+    n = 24
+    pose = se3.make_pose(se3.quat_identity(), jnp.asarray([0.0, 0.0, 1.4]))
+    step = se3.se3_exp(jnp.asarray([0, 0, 0.1, 0.35, 0, 0], jnp.float32))
+    frames = []
+    for i in range(n):
+        s0 = simulate_scan(world, pose, jax.random.fold_in(key, 2 * i),
+                           rings=16, width=360, max_range=40.0, noise=0.01)
+        s1 = simulate_scan(
+            world, se3.pose_compose(pose, x_true),
+            jax.random.fold_in(key, 2 * i + 1),
+            rings=16, width=360, max_range=40.0, noise=0.01,
+        )
+        frames.append((s0, s1))
+        pose = se3.pose_compose(pose, step)
+
+    def make_system():
+        return MultiLidarSystem(SystemConfig(
+            n_lidars=2,
+            extrinsics=(np.asarray(x_true),),  # known → no calibration FSM
+            feature=FeatureParams(rings=16, width=360, edges_per_sector=4,
+                                  surfs_per_sector=12),
+            registration=RegistrationParams(max_iters=8, max_corr_dist=2.0),
+            map_update_trans=0.15, keyframe_trans=0.6,
+            async_backend=False,
+            loop=LoopConfig(min_frame_interval=10**9),
+        ))
+
+    sys_a = make_system()
+    for i, (s0, s1) in enumerate(frames):
+        sys_a.process([s0, s1], 0.1 * i)
+
+    from lmsf_slam_tpu.common.sync import StreamIngest
+
+    rng = np.random.default_rng(5)
+    sys_b = make_system()
+    ingest = StreamIngest(sys_b, slop=0.05)
+    for i, (s0, s1) in enumerate(frames):
+        jitter = float(rng.uniform(-0.02, 0.02))
+        if i % 2:  # arrival order flips frame to frame
+            ingest.push_scan(1, 0.1 * i + jitter, s1)
+            ingest.push_scan(0, 0.1 * i, s0)
+        else:
+            ingest.push_scan(0, 0.1 * i, s0)
+            ingest.push_scan(1, 0.1 * i + jitter, s1)
+
+    est_a, est_b = sys_a.trajectory(), sys_b.trajectory()
+    assert est_b.shape[0] == n  # every frame matched despite jitter/reorder
+    d = np.linalg.norm(est_a[:, 4:] - est_b[:, 4:], axis=1)
+    assert d.max() < 0.05, d.max()
