@@ -39,6 +39,17 @@ class RegistrationParams(NamedTuple):
     edge_eig_ratio: float = 3.0  # line validity: λ_max > ratio·λ_mid
     plane_tol: float = 0.2  # plane validity: all fit pts within (m)
     huber_delta: float = 0.5  # robust loss scale (m)
+    # adaptive trimming: zero out residuals beyond trim_rel × median |r|
+    # (re-evaluated per GN iteration; see the trimmed-GN block in
+    # register_edge_surf). 0 disables. trim_floor bounds the cut from
+    # below so a converged noise-level median never trims inliers.
+    trim_rel: float = 0.0
+    trim_floor: float = 0.5
+    # first GN iteration at which trimming applies: early iterations have
+    # legitimately large residuals (convergence transient — trimming them
+    # destroys the solve); a mover's residuals are IRREDUCIBLE, still
+    # standing out once the static majority has settled
+    trim_after: int = 4
     degen_thresh: float = 100.0  # eigenvalue floor of JᵀJ (ref: 100)
     # match-count-normalized degeneracy floor: when > 0 the eigenvalue floor
     # becomes ``degen_rel · n_matches`` instead of the absolute
@@ -241,6 +252,26 @@ def register_edge_surf(
         rs = jnp.sum(ns * ps_w, axis=-1) + ds
         we = _huber_w(re, params.huber_delta) * ve
         ws = _huber_w(rs, params.huber_delta) * vs
+        if params.trim_rel > 0.0:
+            # adaptive trimmed-GN (trimmed-ICP): residuals beyond
+            # trim_rel × median(|r|) get ZERO weight, re-evaluated every
+            # iteration. Unlike huber (which only tempers), this fully
+            # rejects a coherently-moving cluster — a head-on vehicle whose
+            # points agree with each other but not with the static world —
+            # and self-sharpens: as the solve locks onto the static
+            # majority the median falls and the mover is trimmed harder.
+            # The floor keeps noise-level residuals from trimming anything.
+            av = jnp.concatenate([
+                jnp.where(ve > 0, jnp.abs(re), jnp.inf),
+                jnp.where(vs > 0, jnp.abs(rs), jnp.inf),
+            ])
+            n_v = jnp.sum(ve) + jnp.sum(vs)
+            med = jnp.sort(av)[jnp.maximum(n_v - 1, 0).astype(jnp.int32) // 2]
+            med = jnp.where(n_v > 0, med, 0.0)
+            cut = jnp.maximum(params.trim_rel * med, params.trim_floor)
+            cut = jnp.where(i >= params.trim_after, cut, jnp.inf)
+            we = we * (jnp.abs(re) <= cut)
+            ws = ws * (jnp.abs(rs) <= cut)
 
         He, ge = _gn_normal_equations(src_edge.xyz, ne, re, we, R)
         Hs, gs = _gn_normal_equations(src_surf.xyz, ns, rs, ws, R)

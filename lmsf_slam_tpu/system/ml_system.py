@@ -124,6 +124,10 @@ class SystemConfig(NamedTuple):
     # per-point rel-time attr when present — e.g. KITTI azimuth times); the
     # IMU-propagated deskew in LioTracker takes precedence under use_imu
     deskew: bool = False
+    # frontend dynamic-object probation gate (tracker.py TrackerConfig.
+    # probation): admit scan points to the odometry local map only when
+    # map-supported or re-sighted at a static world position
+    dynamic_probation: bool = False
     registration: RegistrationParams = RegistrationParams()
     map_update_trans: float = 0.3  # local-map insertion gate (ref :239-262)
     map_update_rot: float = 0.1
@@ -226,6 +230,8 @@ class MultiLidarSystem:
             # under use_imu the LIO layer deskews with the IMU-propagated
             # motion BEFORE tracker_step — don't deskew twice
             deskew=config.deskew and not config.use_imu,
+            probation=config.dynamic_probation,
+            carve_map=config.dynamic_probation,
         )
         self.tracker_state = tracker_init(self.tracker_config)
         if backend is not None:
@@ -325,7 +331,8 @@ class MultiLidarSystem:
                 one_sided_occlusion=f.one_sided_occlusion,
             )
             state, out = tracker_step(
-                state, feats.edge, feats.surf, t, tracker_config
+                state, feats.edge, feats.surf, t, tracker_config,
+                scan_grid=grid if tracker_config.carve_map else None,
             )
             return state, out, feats.edge, feats.surf, grid
 
@@ -510,6 +517,7 @@ class MultiLidarSystem:
             self.tracker_state, out = tracker_step(
                 self.tracker_state, edge, surf, jnp.float32(timestamp),
                 self.tracker_config,
+                scan_grid=scan_grid if self.tracker_config.carve_map else None,
             )
             odom_pose = np.asarray(out.pose)
 

@@ -71,6 +71,12 @@ class TrackerConfig(NamedTuple):
     # to max_motion_trans so the tracker can re-acquire instead of holding
     # position while the local map starves.
     gate_reopen_after: int = 3
+    # prediction-trust gate (see the solve_ok block): reject solves
+    # deviating from the constant-velocity prediction by more than
+    # max(pred_trust_floor, pred_trust_k · speed_ema) and coast instead.
+    # 0 disables.
+    pred_trust_k: float = 0.0
+    pred_trust_floor: float = 0.5
     # map-insertion health gate: a frame is inserted when its solve used at
     # least this many correspondences AND passed the motion gate. The
     # convergence flag is the WRONG gate here: at realistic noise the GN
@@ -89,6 +95,63 @@ class TrackerConfig(NamedTuple):
     # end-of-scan frame using the tracker's own constant-velocity motion
     # before registration. No-op when the attr column is absent.
     deskew: bool = False
+    # dynamic-object probation gate at map insert (reference README TODO
+    # #4, the FRONTEND half — the backend carve/unsupported stack cannot
+    # save odometry once movers are in the tracker's local map; measured on
+    # the 600-frame city-with-movers course: ATE 1.88 m / RPE 0.91 without
+    # this gate vs 0.25-class with it). A new scan point is admitted to the
+    # local map iff it is SUPPORTED by the existing registration map
+    # (1-NN within ``support_radius``) or TEMPORALLY CONSISTENT with the
+    # previous update's unsupported points (1-NN within ``consist_radius``
+    # in the world frame). Static new structure passes on the second sight
+    # (one map-update delay); a mover displacing faster than
+    # consist_radius per update interval never does. Two fixed-shape 1-NN
+    # kernels per map update, zero cost on non-update frames.
+    probation: bool = False
+    support_radius: float = 0.6  # m — map-supported admission
+    consist_radius: float = 0.3  # m — probation re-sighting admission
+    # free-space carving of the registration map with the current scan
+    # (requires scan_grid passed to tracker_step): probation alone cannot
+    # stop an EXTENDED mover — a 4 m car advancing 0.8 m/update overlaps
+    # its own previous footprint, so its points are "map-supported" by its
+    # own ghost and chain-admit forever (measured: city-with-movers broke
+    # at a tailing-car segment, 0.7 m/frame sustained odometry bias). The
+    # carve erases any ghost the current scan sees through, breaking the
+    # chain at its root. Same conservative test as the backend's
+    # ``ops.dynamic.carve_dynamic``.
+    carve_map: bool = False
+    # ego-motion-compensated scene-flow gate BEFORE registration: each scan
+    # point is placed at its predicted world position and matched 1-NN
+    # against the previous scan (world frame); a displacement beyond
+    # ``flow_gate + flow_rel·range`` is inconsistent with rigid ego motion
+    # — the point is moving — and is excluded from BOTH registration and
+    # map insert. This kills the failure the probation/carve pair cannot:
+    # a head-on mover whose coherent point cluster DRAGS the GN solve
+    # (huber only tempers it) — measured ±4-5 m yanks at the city course's
+    # frame-614 head-on pass that no map hygiene can undo. The range term
+    # absorbs constant-velocity yaw-prediction error on distant points
+    # (1° at 40 m = 0.7 m). Fail-safe: if less than ``flow_floor`` of the
+    # scan survives (jolted prediction, first frame), the gate stands down.
+    flow_gate: float = 0.0  # m at zero range; 0 disables
+    flow_rel: float = 0.02  # + this fraction of point range
+    flow_floor: float = 0.3
+    # sightings within ``consist_radius`` of the point's FIRST-SEEN anchor
+    # before admission (anchors are never refreshed, so the test is on
+    # CUMULATIVE displacement: a mover pacing the ego at 0.2 m/update —
+    # under the per-interval radius — drifts 0.4 m from its anchor by the
+    # third sighting and is rejected; static structure rides at noise
+    # level). 2 = admit on first re-sighting (per-interval test only).
+    probation_sightings: int = 3
+    # starvation fail-safe: if the gate admits less than this fraction of
+    # the scan's valid points, admit the whole scan for this update. A
+    # mover is a few percent of a scan, so the gate never legitimately
+    # rejects ~everything; when a pose jolt (e.g. a head-on mover dragging
+    # one solve) makes world positions jitter past consist_radius, the
+    # gate would otherwise reject ALL new structure, starve the map down
+    # an unvisited street, and never re-anchor — a self-reinforcing
+    # divergence (measured at the city course's frame-615 head-on pass).
+    # Better a briefly polluted map (carve_map erases it) than none.
+    probation_starvation_floor: float = 0.3
     # iterative re-deskew: registrations per frame (1 = deskew once with
     # the constant-velocity prior — the best measured default: sustained
     # distortion (corners) is where deskew pays, and there the lagged prior
@@ -111,6 +174,16 @@ class TrackerState(NamedTuple):
     last_update_pose: jax.Array  # (7,) pose at last map insertion
     last_update_time: jax.Array  # f32
     frame_count: jax.Array  # int32
+    # probation cloud (world frame): last update's unsupported points —
+    # empty (0, 3) unless config.probation. prob_xyz holds each point's
+    # FIRST-SEEN anchor; prob_count its consecutive in-radius sightings.
+    prob_xyz: jax.Array
+    prob_mask: jax.Array
+    prob_count: jax.Array
+    # previous raw scan in the world frame (scene-flow gate reference) —
+    # empty (0, 3) unless config.flow_gate > 0
+    flow_xyz: jax.Array
+    flow_mask: jax.Array
 
 
 class TrackerOutput(NamedTuple):
@@ -118,6 +191,17 @@ class TrackerOutput(NamedTuple):
     motion: jax.Array  # (7,)
     registration: RegistrationResult
     map_updated: jax.Array  # bool
+
+
+def _fit_cap(x, m, cap):
+    """Clip/pad a cloud to exactly ``cap`` rows (static-shape state slots)."""
+    n = x.shape[0]
+    if n >= cap:
+        return x[:cap], m[:cap]
+    return (
+        jnp.concatenate([x, jnp.zeros((cap - n, 3), x.dtype)]),
+        jnp.concatenate([m, jnp.zeros(cap - n, bool)]),
+    )
 
 
 def tracker_init(config: TrackerConfig) -> TrackerState:
@@ -133,6 +217,37 @@ def tracker_init(config: TrackerConfig) -> TrackerState:
         last_update_pose=se3.pose_identity(),
         last_update_time=jnp.float32(-1e18),
         frame_count=jnp.array(0, jnp.int32),
+        prob_xyz=jnp.zeros(
+            (
+                (config.edge_capacity + config.surf_capacity)
+                if config.probation else 0,
+                3,
+            ),
+            jnp.float32,
+        ),
+        prob_mask=jnp.zeros(
+            (config.edge_capacity + config.surf_capacity)
+            if config.probation else 0,
+            bool,
+        ),
+        prob_count=jnp.zeros(
+            (config.edge_capacity + config.surf_capacity)
+            if config.probation else 0,
+            jnp.int32,
+        ),
+        flow_xyz=jnp.zeros(
+            (
+                (config.edge_capacity + config.surf_capacity)
+                if config.flow_gate > 0 else 0,
+                3,
+            ),
+            jnp.float32,
+        ),
+        flow_mask=jnp.zeros(
+            (config.edge_capacity + config.surf_capacity)
+            if config.flow_gate > 0 else 0,
+            bool,
+        ),
     )
 
 
@@ -144,6 +259,7 @@ def tracker_step(
     timestamp: jax.Array,
     config: TrackerConfig = TrackerConfig(),
     prediction: jax.Array | None = None,
+    scan_grid=None,  # organized range image (sensor frame) for carve_map
 ) -> tuple[TrackerState, TrackerOutput]:
     """One odometry step: predict → register vs local map → maybe update map.
 
@@ -222,6 +338,31 @@ def tracker_step(
         surf = _deskew(raw_surf, raw_surf.attr[:, ATTR_TIME], sweep)
         prediction = pred_i
 
+    raw_edge_in, raw_surf_in = edge, surf  # pre-flow-gate (flow reference)
+    if config.flow_gate > 0:
+        from ..ops.neighbors import nn1
+
+        def _flow_static(pb):
+            w = pb.transform(prediction)
+            d, _ = nn1(w.xyz, w.mask, state.flow_xyz, state.flow_mask)
+            rng = jnp.linalg.norm(pb.xyz, axis=-1)  # sensor-frame range
+            thr = config.flow_gate + config.flow_rel * rng
+            return d < thr * thr
+
+        stat_e = _flow_static(edge)
+        stat_s = _flow_static(surf)
+        n_val = jnp.maximum(
+            jnp.sum(edge.mask) + jnp.sum(surf.mask), 1
+        )
+        frac = (
+            jnp.sum(stat_e & edge.mask) + jnp.sum(stat_s & surf.mask)
+        ) / n_val
+        stand_down = (frac < jnp.float32(config.flow_floor)) | first
+        edge = PointBatch(edge.xyz, edge.mask & (stat_e | stand_down),
+                          edge.attr)
+        surf = PointBatch(surf.xyz, surf.mask & (stat_s | stand_down),
+                          surf.attr)
+
     reg = register_edge_surf(
         edge, surf, state.edge_flat, state.surf_flat, prediction,
         config.registration,
@@ -233,6 +374,27 @@ def tracker_step(
     # prediction), and if even the prediction is implausible zero the
     # velocity — hold position and re-anchor on the local map next frame
     solve_ok = _sane(new_pose)
+    if config.pred_trust_k > 0.0:
+        # prediction-trust gate: a registration that lands far from the
+        # constant-velocity prediction (relative to the smoothed speed) is
+        # either dragged by a coherent mover or snapped to an aliased
+        # corridor minimum — reject it and COAST on the prediction instead
+        # of freezing in place (the city corridor-tailgating failure:
+        # the solve pinned the pose to the map while the ego advanced
+        # 0.9 m/frame). The cold/reopen fallback uses the same gate_open
+        # as the speed gate so a genuinely wrong velocity re-acquires.
+        dev = jnp.linalg.norm(
+            se3.pose_trans(se3.pose_between(prediction, new_pose))
+        )
+        pred_bound = jnp.where(
+            gate_open,
+            jnp.float32(config.max_motion_trans),
+            jnp.maximum(
+                jnp.float32(config.pred_trust_floor),
+                config.pred_trust_k * state.speed_ema,
+            ),
+        )
+        solve_ok = solve_ok & (dev <= pred_bound)
     new_pose = jnp.where(solve_ok, new_pose, prediction)
     pred_ok = _sane(new_pose)
     new_pose = jnp.where(pred_ok, new_pose, state.pose)
@@ -260,23 +422,106 @@ def tracker_step(
 
     edge_w = edge.transform(new_pose)
     surf_w = surf.transform(new_pose)
+    prob_xyz, prob_mask = state.prob_xyz, state.prob_mask
+    prob_count = state.prob_count
+    flow_xyz, flow_mask = state.flow_xyz, state.flow_mask
+    if config.flow_gate > 0:
+        # refresh the scene-flow reference EVERY frame (relative motion is
+        # per frame, not per map update) with the UNGATED scan at the
+        # solved pose
+        rw_e = raw_edge_in.transform(new_pose)
+        rw_s = raw_surf_in.transform(new_pose)
+        fe_xyz, fe_mk = _fit_cap(rw_e.xyz, rw_e.mask, config.edge_capacity)
+        fs_xyz, fs_mk = _fit_cap(rw_s.xyz, rw_s.mask, config.surf_capacity)
+        flow_xyz = jnp.concatenate([fe_xyz, fs_xyz])
+        flow_mask = jnp.concatenate([fe_mk, fs_mk])
+    if config.probation:
+        from ..ops.neighbors import nn1
+
+        _fit = _fit_cap
+        ne_cap, ns_cap = config.edge_capacity, config.surf_capacity
+        pe_xyz, pe_mk = _fit(edge_w.xyz, edge_w.mask, ne_cap)
+        ps_xyz, ps_mk = _fit(surf_w.xyz, surf_w.mask, ns_cap)
+        new_xyz = jnp.concatenate([pe_xyz, ps_xyz])
+        new_mk = jnp.concatenate([pe_mk, ps_mk])
+        map_xyz = jnp.concatenate([state.edge_flat.xyz, state.surf_flat.xyz])
+        map_mk = jnp.concatenate([state.edge_flat.mask, state.surf_flat.mask])
+        d_map, _ = nn1(new_xyz, new_mk, map_xyz, map_mk)
+        d_prob, p_idx = nn1(new_xyz, new_mk, prob_xyz, prob_mask)
+        matched = d_prob < jnp.float32(config.consist_radius) ** 2
+        # anchor-carrying re-sighting count: matched points inherit their
+        # probation entry's ORIGINAL anchor and increment its count
+        p_idx = jnp.where(matched, p_idx, 0)
+        count = jnp.where(matched, state.prob_count[p_idx] + 1, 1)
+        anchor = jnp.where(matched[:, None], prob_xyz[p_idx], new_xyz)
+        admit = (
+            (d_map < jnp.float32(config.support_radius) ** 2)
+            | (matched & (count >= config.probation_sightings))
+            | first
+        )
+        n_valid = jnp.maximum(jnp.sum(new_mk), 1)
+        starved = (
+            jnp.sum(admit & new_mk) / n_valid
+            < jnp.float32(config.probation_starvation_floor)
+        )
+        admit = admit | starved
+
+        def _apply(pb, adm, cap):
+            n = pb.mask.shape[0]
+            a = adm[:n] if n <= cap else jnp.concatenate(
+                [adm, jnp.zeros(n - cap, bool)]
+            )
+            return PointBatch(pb.xyz, pb.mask & a, pb.attr)
+
+        edge_w = _apply(edge_w, admit[:ne_cap], ne_cap)
+        surf_w = _apply(surf_w, admit[ne_cap:], ns_cap)
+        # next probation set: seen this update, admitted by neither rule
+        prob_xyz = jnp.where(need, anchor, prob_xyz)
+        prob_mask = jnp.where(need, new_mk & ~admit, prob_mask)
+        prob_count = jnp.where(need, count, state.prob_count)
     new_edge_map = localmap_add_if(state.edge_map, edge_w, need)
     new_surf_map = localmap_add_if(state.surf_map, surf_w, need)
 
     # rebuild the downsampled registration map only when the window changed
     # (lax.cond: the sort/scatter cost is paid on map updates, not per frame)
+    def _rebuild_maps():
+        ef = voxel_downsample(
+            localmap_flatten(new_edge_map), config.map_voxel_size,
+            config.edge_map_capacity,
+        )
+        sf = voxel_downsample(
+            localmap_flatten(new_surf_map), config.map_voxel_size,
+            config.surf_map_capacity,
+        )
+        if config.carve_map and scan_grid is not None:
+            from ..ops.dynamic import carve_dynamic
+
+            gm = scan_grid.mask
+            elev = jnp.arctan2(
+                scan_grid.xyz[..., 2],
+                jnp.linalg.norm(scan_grid.xyz[..., :2], axis=-1) + 1e-9,
+            )
+            elo = jnp.min(jnp.where(gm, elev, jnp.inf))
+            ehi = jnp.max(jnp.where(gm, elev, -jnp.inf))
+            ef = PointBatch(
+                ef.xyz,
+                ef.mask & carve_dynamic(
+                    scan_grid, ef, new_pose, elev_min=elo, elev_max=ehi
+                ),
+                ef.attr,
+            )
+            sf = PointBatch(
+                sf.xyz,
+                sf.mask & carve_dynamic(
+                    scan_grid, sf, new_pose, elev_min=elo, elev_max=ehi
+                ),
+                sf.attr,
+            )
+        return ef, sf
+
     edge_flat, surf_flat = jax.lax.cond(
         need,
-        lambda: (
-            voxel_downsample(
-                localmap_flatten(new_edge_map), config.map_voxel_size,
-                config.edge_map_capacity,
-            ),
-            voxel_downsample(
-                localmap_flatten(new_surf_map), config.map_voxel_size,
-                config.surf_map_capacity,
-            ),
-        ),
+        _rebuild_maps,
         lambda: (state.edge_flat, state.surf_flat),
     )
 
@@ -301,6 +546,11 @@ def tracker_step(
             need, jnp.float32(timestamp), state.last_update_time
         ),
         frame_count=state.frame_count + 1,
+        prob_xyz=prob_xyz,
+        prob_mask=prob_mask,
+        prob_count=prob_count,
+        flow_xyz=flow_xyz,
+        flow_mask=flow_mask,
     )
     return new_state, TrackerOutput(
         pose=new_pose, motion=motion, registration=reg, map_updated=need

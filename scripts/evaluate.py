@@ -93,14 +93,25 @@ def run_city(args):
 
     movers = None
     extras_kw = {}
-    if args.extras:
-        # the reference-TODO stack ON at flagship scale: dynamic movers in
-        # the world, carving + unsupported-point gating + synchronized 2D
-        # occupancy grid (README TODOs #3/#4/#5)
+    if args.extras or args.movers:
+        # dynamic movers in the world (--movers: world only, the ablation
+        # baseline; --extras additionally turns on the reference-TODO
+        # defense stack: carving + unsupported-point gating + synchronized
+        # 2D occupancy grid, README TODOs #3/#4/#5)
         from lmsf_slam_tpu.datasets.city import make_movers, world_with_movers
-        from lmsf_slam_tpu.mapping.occupancy import OccupancyConfig
 
         movers = make_movers(jax.random.fold_in(key, 999))
+    probation = False
+    trim_kw = {}
+    if args.extras:
+        from lmsf_slam_tpu.mapping.occupancy import OccupancyConfig
+
+        # frontend half of the defense: probation + free-space carving of
+        # the odometry local map (SystemConfig.dynamic_probation) and
+        # adaptive trimmed registration (coherently-moving clusters get
+        # zero weight once the static majority has settled)
+        probation = True
+        trim_kw = dict(trim_rel=3.0)
         extras_kw = dict(
             dynamic_carve_knn=3,
             dynamic_gate_unsupported=True,
@@ -119,11 +130,12 @@ def run_city(args):
         # same 0.01·n_matches rule everywhere the solver runs on
         # down-selected feature clouds
         registration=RegistrationParams(
-            max_iters=8, max_corr_dist=2.0, degen_rel=0.01
+            max_iters=8, max_corr_dist=2.0, degen_rel=0.01, **trim_kw
         ),
         map_update_trans=0.5,
         keyframe_trans=2.0,
         async_backend=not args.sync,
+        dynamic_probation=probation,
         lifelong=LifelongConfig(
             optimize_window=100,
             # loop-closure (full) solves use the submap Schur elimination
@@ -301,6 +313,9 @@ def main():
     ap.add_argument("--extras", action="store_true",
                     help="city: movers in the world + dynamic carving + "
                     "unsupported-point gating + occupancy grid (TODO stack)")
+    ap.add_argument("--movers", action="store_true",
+                    help="city: movers in the world WITHOUT the defense "
+                    "stack (ablation baseline for --extras)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--root", default=os.environ.get("KITTI_ROOT", ""))
     ap.add_argument("--seq", default="00")

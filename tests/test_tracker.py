@@ -161,3 +161,58 @@ def test_tracker_fast_start_gate_warmup():
     # gate must actually travel
     assert est_dist > 0.5 * gt_dist, (est_dist, gt_dist)
     assert float(state.speed_ema) > 1.0
+
+
+def test_probation_gate_blocks_movers_admits_static():
+    """Dynamic-object probation at map insert (TrackerConfig.probation):
+    points displacing between map updates never enter the local map; static
+    new structure is admitted on its second sighting."""
+    config = TrackerConfig(
+        window=8, edge_capacity=64, surf_capacity=256,
+        map_update_trans=0.0,  # insert every frame
+        map_update_dt=0.0,
+        map_insert_min_matches=1,
+        probation=True, support_radius=0.6, consist_radius=0.3,
+        registration=RegistrationParams(max_iters=2, max_corr_dist=2.0),
+    )
+    state = tracker_init(config)
+    rng = np.random.default_rng(0)
+    # static scene: floor + two orthogonal walls (fully constrains the pose)
+    g = np.linspace(-4.0, 8.0, 10)
+    floor = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+    floor = np.concatenate([floor, np.zeros((floor.shape[0], 1))], 1)
+    wx = np.stack(np.meshgrid(g, np.linspace(0.2, 2.6, 7)), -1).reshape(-1, 2)
+    wall_a = np.stack([wx[:, 0], np.full(wx.shape[0], 8.0), wx[:, 1]], 1)
+    wall_b = np.stack([np.full(wx.shape[0], 8.0), wx[:, 0], wx[:, 1]], 1)
+    static = np.concatenate([floor, wall_a, wall_b]).astype(np.float32)
+    # a mover sweeping 0.8 m/frame and a new static object appearing at
+    # frame 2 (both absent from the initial map)
+    def scan(i):
+        pts = [static + rng.normal(0, 0.01, static.shape).astype(np.float32)]
+        mover = np.array([[0.0 + 0.8 * i, 5.0, 1.0]], np.float32) + \
+            rng.normal(0, 0.01, (8, 3)).astype(np.float32)
+        pts.append(mover)
+        if i >= 2:
+            newobj = np.array([[-4.0, -4.0, 1.0]], np.float32) + \
+                rng.normal(0, 0.02, (8, 3)).astype(np.float32)
+            pts.append(newobj)
+        p = np.concatenate(pts)
+        return (PointBatch.from_points(p[:32], capacity=64),
+                PointBatch.from_points(p, capacity=256))
+
+    for i in range(6):
+        edge, surf = scan(i)
+        state, _ = tracker_step(state, edge, surf, jnp.float32(0.1 * i),
+                                config)
+    flat = np.asarray(state.surf_flat.xyz)[np.asarray(state.surf_flat.mask)]
+    # the new static object (around (-4, -4)) made it into the map
+    d_new = np.linalg.norm(flat[:, :2] - np.array([-4.0, -4.0]), axis=1)
+    assert (d_new < 0.5).any(), "static new structure never admitted"
+    # no mover ghost trail: mover positions at frames 1..4 (x = 0.8..3.2,
+    # y = 5) must be absent (frame-0 position was admitted with the first
+    # scan, which seeds the map wholesale)
+    for i in range(1, 5):
+        d_mov = np.linalg.norm(
+            flat[:, :2] - np.array([0.8 * i, 5.0]), axis=1
+        )
+        assert not (d_mov < 0.25).any(), f"mover ghost at frame {i}"
