@@ -136,11 +136,16 @@ class LioTracker:
             self.tracker_state, edge, surf, jnp.float32(timestamp),
             cfg.tracker, prediction=prediction,
         )
-        # registration corrects the filter
-        self.eskf = eskf_update_pose(
-            self.eskf, out.pose, jnp.float32(cfg.reg_pos_std),
-            jnp.float32(cfg.reg_rot_std),
-        )
+        # registration corrects the filter — but a solve the tracker's
+        # gates REJECTED (out.pose fell back to the prediction) is not a
+        # measurement: updating with it would shrink covariance on zero
+        # information and, under the prediction-trust gate, launder a
+        # mover-dragged solve back into the filter
+        if bool(out.solve_ok):
+            self.eskf = eskf_update_pose(
+                self.eskf, out.pose, jnp.float32(cfg.reg_pos_std),
+                jnp.float32(cfg.reg_rot_std),
+            )
         self.prev_pose = np.asarray(out.pose)
         self.n_scans += 1
         return np.asarray(out.pose), out

@@ -271,7 +271,16 @@ class MultiLidarSystem:
             assert n == 1, "use_imu currently supports a single lidar"
             from ..lio import LioConfig, LioTracker
 
-            self._lio = LioTracker(LioConfig(tracker=self.tracker_config))
+            # under IMU the per-frame prediction is physically grounded, so
+            # the prediction-trust gate is safe AND necessary: a coherent
+            # mover (leading car in a corridor, along-track structure
+            # occluded) drags the registration while the IMU knows better —
+            # reject the dragged solve, coast on the propagated pose, keep
+            # the dragged scan out of the local map (measured: the city
+            # mover-corridor segment breaks every pure-LiDAR defense)
+            self._lio = LioTracker(LioConfig(
+                tracker=self.tracker_config._replace(pred_trust_k=0.3)
+            ))
         self.gate = KeyframeGate(
             config.keyframe_trans, config.keyframe_rot, config.keyframe_dt
         )

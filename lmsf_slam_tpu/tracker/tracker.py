@@ -191,6 +191,7 @@ class TrackerOutput(NamedTuple):
     motion: jax.Array  # (7,)
     registration: RegistrationResult
     map_updated: jax.Array  # bool
+    solve_ok: jax.Array = True  # bool — False: pose fell back to prediction
 
 
 def _fit_cap(x, m, cap):
@@ -553,5 +554,6 @@ def tracker_step(
         flow_mask=flow_mask,
     )
     return new_state, TrackerOutput(
-        pose=new_pose, motion=motion, registration=reg, map_updated=need
+        pose=new_pose, motion=motion, registration=reg, map_updated=need,
+        solve_ok=solve_ok,
     )

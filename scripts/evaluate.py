@@ -101,6 +101,17 @@ def run_city(args):
         from lmsf_slam_tpu.datasets.city import make_movers, world_with_movers
 
         movers = make_movers(jax.random.fold_in(key, 999))
+    imu_windows = None
+    if args.imu:
+        # LIO at city scale: 100 Hz IMU synthesized from the course
+        # (datasets/city.py make_city_imu), scans rendered as TRUE moving
+        # sweeps (simulate_scan_moving) so the LIO layer's IMU deskew has
+        # real distortion to undo — the reference's FactorGraphLIO/eskf
+        # capability (`imuPreintegration_node.cpp`) at validation scale
+        from lmsf_slam_tpu.datasets.city import make_city_imu
+
+        imu_windows = make_city_imu(np.asarray(make_city_course()))
+
     probation = False
     trim_kw = {}
     if args.extras:
@@ -136,6 +147,7 @@ def run_city(args):
         keyframe_trans=2.0,
         async_backend=not args.sync,
         dynamic_probation=probation,
+        use_imu=args.imu,
         lifelong=LifelongConfig(
             optimize_window=100,
             # loop-closure (full) solves use the submap Schur elimination
@@ -156,19 +168,47 @@ def run_city(args):
         ),
     )
     system = MultiLidarSystem(config)
+    if args.imu:
+        # anchor velocity: the ESKF lives in the tracker's odometry frame
+        # (anchored at the first scan's pose) — seed it with the course
+        # velocity rotated into that frame
+        from lmsf_slam_tpu.estimator import eskf_init_state
+
+        course = np.asarray(make_city_course())
+        v0 = (course[start + 1, 4:7] - course[start, 4:7]) * 10.0
+        va = se3.quat_rotate(
+            se3.quat_conj(jnp.asarray(course[start, :4])),
+            jnp.asarray(v0, jnp.float32),
+        )
+        system._lio.eskf = eskf_init_state()._replace(v=va)
     lat = []
     t0 = time.perf_counter()
     for i in range(n):
         fi = start + i  # absolute course frame
         w = world if movers is None else world_with_movers(world, movers, fi)
-        scan = simulate_scan(
-            w, traj[i], jax.random.fold_in(key, fi),
-            rings=HDL64["rings"], width=HDL64["width"],
-            elev_min=HDL64["elev_min"], elev_max=HDL64["elev_max"],
-            max_range=80.0, min_range=2.5, noise=0.01,
-        )
+        if args.imu and fi > 0:
+            from lmsf_slam_tpu.datasets import simulate_scan_moving
+
+            scan = simulate_scan_moving(
+                w, traj[i - 1] if i > 0 else traj[i], traj[i],
+                jax.random.fold_in(key, fi),
+                rings=HDL64["rings"], width=HDL64["width"],
+                elev_min=HDL64["elev_min"], elev_max=HDL64["elev_max"],
+                max_range=80.0, min_range=2.5, noise=0.01,
+            )
+        else:
+            scan = simulate_scan(
+                w, traj[i], jax.random.fold_in(key, fi),
+                rings=HDL64["rings"], width=HDL64["width"],
+                elev_min=HDL64["elev_min"], elev_max=HDL64["elev_max"],
+                max_range=80.0, min_range=2.5, noise=0.01,
+            )
+        imu_kw = {}
+        if imu_windows is not None and i > 0:
+            gy, ac, dts = imu_windows[fi]
+            imu_kw = dict(gyro=gy, acc=ac, imu_dts=dts)
         tf = time.perf_counter()
-        system.process(scan, 0.1 * fi)
+        system.process(scan, 0.1 * fi, **imu_kw)
         lat.append(time.perf_counter() - tf)
         if args.progress and i % 100 == 0:
             print(f"# frame {i}/{n} kf={system.backend.db.n_keyframes}",
@@ -316,6 +356,9 @@ def main():
     ap.add_argument("--movers", action="store_true",
                     help="city: movers in the world WITHOUT the defense "
                     "stack (ablation baseline for --extras)")
+    ap.add_argument("--imu", action="store_true",
+                    help="city: LIO — synthesized 100 Hz IMU + true moving-"
+                    "sweep scans; ESKF prediction + IMU deskew")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--root", default=os.environ.get("KITTI_ROOT", ""))
     ap.add_argument("--seq", default="00")
